@@ -1,13 +1,227 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.concurrent.TrieMap
+import graft.graph.LinkGraph
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Graph operators run over a deterministic edge table derived in pure SQL
+  * from lineitem (FIXTURES.md §4), identical in Spark and the DuckDB
+  * oracle; text/dedup operators run over the documents table.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: full ingest pipeline — synthetic Common-Crawl-style pages →
+    * link extraction → dense vids → edge table → deterministic PPR (forward
+    * push) + PageRank — reported per url. Driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val pages = graft.sources.SyntheticPages.generate(spark, 400L, seed = 42L)
+    val (g, dict) = LinkGraph.fromPages(spark, pages.toDF(), numParts = 8)
+    val ppr = ForwardPush.deterministicPpr(g, Map(0 -> 0L), alpha = 0.2,
+      tol = 1e-7)
+    val pr = PageRank.run(g, damping = 0.85, tol = 1e-9).ranks
+    ppr.state.select($"vid", $"reserve".as("ppr"))
+      .join(pr, Seq("vid"))
+      .join(dict.toDF(), Seq("vid"))
+      .select($"url", $"vid", round($"ppr", 8).as("ppr"),
+        round($"rank", 8).as("pagerank"))
+      .orderBy(desc("pagerank"), asc("vid"))
+      .limit(50)
+  }
+
+  // --- shared derived inputs ------------------------------------------------
+
+  /** Deterministic arithmetic edge table — identical SQL in DuckDB oracle. */
+  def derivedEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    li.select((col("l_partkey") % 1000).as("src"),
+        (col("l_suppkey") % 1000).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** SQL text of the derived edge table, shared by every graph oracle. */
+  val edgesSql: String =
+    """SELECT DISTINCT l_partkey % 1000 AS src, l_suppkey % 1000 AS dst
+      |FROM lineitem WHERE l_partkey % 1000 <> l_suppkey % 1000""".stripMargin
+
+  private val graphCache = TrieMap.empty[String, LinkGraph]
+  def derivedGraph(spark: SparkSession, sfDir: String): LinkGraph =
+    graphCache.getOrElseUpdate(sfDir,
+      LinkGraph.fromEdges(spark, derivedEdges(spark, sfDir), numParts = 16))
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  // --- the registered operator queries -------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_edges" -> ((s, d) => derivedEdges(s, d)),
+
+    "g_deg_hist" -> ((s, d) => {
+      derivedEdges(s, d).groupBy(col("src"))
+        .agg(count(lit(1)).as("outdeg"))
+        .groupBy(col("outdeg")).agg(count(lit(1)).as("n_vertices"))
+    }),
+
+    "g_mutual_edges" -> ((s, d) => {
+      val e = derivedEdges(s, d)
+      val r = e.select(col("dst").as("src"), col("src").as("dst"))
+      e.intersect(r).agg((count(lit(1)) / 2).cast("long").as("mutual_pairs"))
+    }),
+
+    "g_two_hop" -> ((s, d) => {
+      val e = derivedGraph(s, d).edges.toDF()
+      val e2 = e.select(col("dst").as("mid"), col("dst" + "").as("x"))
+      e.select(col("src").as("a"), col("dst").as("mid"))
+        .join(derivedGraph(s, d).edges.toDF()
+          .select(col("src").as("mid"), col("dst").as("c")), Seq("mid"))
+        .where(col("a") =!= col("c"))
+        .select(col("a"), col("c")).distinct()
+        .agg(count(lit(1)).as("two_hop_pairs"))
+    }),
+
+    "g_tri_count" -> ((s, d) =>
+      Triangles.triangles(derivedGraph(s, d))
+        .agg(count(lit(1)).as("tri_cnt"))),
+
+    "g_tri_pervertex" -> ((s, d) =>
+      Triangles.perVertex(derivedGraph(s, d))
+        .where(col("triangles") > 0)
+        .select(col("vid"), col("triangles"))),
+
+    "g_cc" -> ((s, d) =>
+      ConnectedComponents.run(derivedGraph(s, d)).components
+        .select(col("vid"), col("component"))),
+
+    "g_cc_sizes" -> ((s, d) =>
+      ConnectedComponents.run(derivedGraph(s, d)).components
+        .groupBy(col("component")).agg(count(lit(1)).as("csize"))
+        .groupBy(col("csize")).agg(count(lit(1)).as("n_components"))),
+
+    // -- documents: text analysis / dedup --
+
+    "d_token_count" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))),
+
+    "d_exact_dup" -> ((s, d) =>
+      docs(s, d).groupBy(md5(col("text").cast("binary")).as("text_md5"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+        .where(col("n_docs") > 1)),
+
+    "d_quality" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        length(col("text")).as("n_chars_text"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,;:!?]", "")))
+          .as("n_punct"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("avg_token_len",
+          round(col("n_chars_text").cast("double") / col("n_tokens"), 6))),
+
+    "d_lang_agg" -> ((s, d) =>
+      docs(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          round(avg(length(col("text"))), 6).as("avg_len")))
+  )
+
+  /** DuckDB-runnable oracle SQL; column names match the Spark results. */
+  def oracleSql: Map[String, String] = Map(
+    "g_edges" -> edgesSql,
+
+    "g_deg_hist" ->
+      s"""SELECT outdeg, count(*) AS n_vertices FROM (
+         |  SELECT src, count(*) AS outdeg FROM ($edgesSql) GROUP BY src
+         |) GROUP BY outdeg""".stripMargin,
+
+    "g_mutual_edges" ->
+      s"""SELECT CAST(count(*) / 2 AS BIGINT) AS mutual_pairs
+         |FROM ($edgesSql) e1 JOIN ($edgesSql) e2
+         |  ON e1.src = e2.dst AND e1.dst = e2.src""".stripMargin,
+
+    "g_two_hop" ->
+      s"""SELECT count(*) AS two_hop_pairs FROM (
+         |  SELECT DISTINCT e1.src AS a, e2.dst AS c
+         |  FROM ($edgesSql) e1 JOIN ($edgesSql) e2 ON e1.dst = e2.src
+         |  WHERE e1.src <> e2.dst)""".stripMargin,
+
+    "g_tri_count" ->
+      s"""WITH u AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
+         |           FROM ($edgesSql))
+         |SELECT count(*) AS tri_cnt
+         |FROM u e1 JOIN u e2 ON e1.b = e2.a JOIN u e3
+         |  ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+
+    "g_tri_pervertex" ->
+      s"""WITH u AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
+         |           FROM ($edgesSql)),
+         |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |      FROM u e1 JOIN u e2 ON e1.b = e2.a JOIN u e3
+         |        ON e3.a = e1.a AND e3.b = e2.b),
+         |c AS (SELECT x AS vid FROM t UNION ALL SELECT y FROM t
+         |      UNION ALL SELECT z FROM t)
+         |SELECT vid, count(*) AS triangles FROM c GROUP BY vid""".stripMargin,
+
+    "g_cc" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT least(src,dst) AS a, greatest(src,dst) AS b FROM ($edgesSql)
+         |), sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+         |v AS (SELECT DISTINCT a AS vid FROM sym
+         |      UNION SELECT DISTINCT src FROM ($edgesSql)
+         |      UNION SELECT DISTINCT dst FROM ($edgesSql)),
+         |reach(vid, r) AS (
+         |  SELECT vid, vid FROM v
+         |  UNION
+         |  SELECT reach.vid, sym.b FROM reach JOIN sym ON reach.r = sym.a
+         |)
+         |SELECT vid, min(r) AS component FROM reach GROUP BY vid""".stripMargin,
+
+    "g_cc_sizes" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT least(src,dst) AS a, greatest(src,dst) AS b FROM ($edgesSql)
+         |), sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+         |v AS (SELECT DISTINCT a AS vid FROM sym
+         |      UNION SELECT DISTINCT src FROM ($edgesSql)
+         |      UNION SELECT DISTINCT dst FROM ($edgesSql)),
+         |reach(vid, r) AS (
+         |  SELECT vid, vid FROM v
+         |  UNION
+         |  SELECT reach.vid, sym.b FROM reach JOIN sym ON reach.r = sym.a
+         |),
+         |comp AS (SELECT vid, min(r) AS component FROM reach GROUP BY vid),
+         |sizes AS (SELECT component, count(*) AS csize FROM comp
+         |          GROUP BY component)
+         |SELECT csize, count(*) AS n_components FROM sizes
+         |GROUP BY csize""".stripMargin,
+
+    "d_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |FROM documents""".stripMargin,
+
+    "d_exact_dup" ->
+      """SELECT md5(text) AS text_md5, count(*) AS n_docs,
+        |  min(doc_id) AS keep_id
+        |FROM documents GROUP BY md5(text) HAVING count(*) > 1""".stripMargin,
+
+    "d_quality" ->
+      """SELECT doc_id, length(text) AS n_chars_text,
+        |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+        |    AS n_punct,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  round(CAST(length(text) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 6) AS avg_token_len
+        |FROM documents""".stripMargin,
+
+    "d_lang_agg" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+        |  round(avg(length(text)), 6) AS avg_len
+        |FROM documents GROUP BY lang""".stripMargin
+  )
 }

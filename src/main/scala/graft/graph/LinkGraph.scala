@@ -1,0 +1,198 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
+import graft.html.Html
+import graft.util.Hashing
+
+/** The engine's graph handle: a deduped edge table plus derived structures
+  * (adjacency, CSR blocks, degrees), each MATERIALIZED as a parquet table
+  * once and then cached hash-partitioned.
+  *
+  * Materialize-then-rescan matters twice at scale (SURVEY.md §4.2):
+  *   - iterative operators reference these tables in every superstep; if
+  *     they carried their full ingest lineage, chained plans blow up
+  *     super-linearly (measured: 45M-char optimized plan after 5 chained
+  *     PageRank steps against un-materialized tables; constant ~kB once
+  *     they are plain scans);
+  *   - the tables double as the durable "graph build" artifact a real
+  *     deployment would register in a catalog (Iceberg in the north rule;
+  *     plain parquet dirs here).
+  *
+  * Vertex ids are dense longs 0..n-1 when built from pages via the
+  * dictionary; arbitrary non-negative longs from an external edge table.
+  */
+final class LinkGraph private (
+    val spark: SparkSession,
+    val storageDir: String,
+    val numParts: Int) extends Serializable {
+  import spark.implicits._
+
+  private def materialize(df: DataFrame, name: String,
+                          partBy: Option[String]): DataFrame = {
+    val path = s"$storageDir/$name"
+    df.write.mode("overwrite").parquet(path)
+    val back = spark.read.parquet(path)
+    val shaped = partBy match {
+      case Some(c) => back.repartition(numParts, col(c))
+      case None => back
+    }
+    val cached = shaped.persist(StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    cached
+  }
+
+  /** Deduped directed edges, no self-loops, partitioned by src. */
+  lazy val edges: Dataset[Edge] = spark.read
+    .parquet(s"$storageDir/edges").repartition(numParts, $"src")
+    .as[Edge].persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Out-adjacency with sorted neighbor slabs, partitioned by src. */
+  lazy val adj: Dataset[VertexAdj] = materialize(
+    edges.groupBy($"src").agg(sort_array(collect_list($"dst")).as("dsts")),
+    "adj", Some("src")).as[VertexAdj]
+
+  /** In-adjacency (transpose) — backward push reuses forward push on this
+    * (SURVEY.md O15). */
+  lazy val adjIn: Dataset[VertexAdj] = materialize(
+    edges.groupBy($"dst".as("src"))
+      .agg(sort_array(collect_list($"src")).as("dsts")),
+    "adj_in", Some("src")).as[VertexAdj]
+
+  /** Per-partition CSR blocks (SURVEY.md §1.2): one row per content-derived
+    * partition (part = pmod(xxhash64(src), P) — never the physical
+    * partition index, so blocks are identical at any parallelism). */
+  lazy val csr: Dataset[CsrBlock] = materialize(
+    adj.groupByKey(a => Hashing.partOf(a.src, numParts))
+      .mapGroups { (part, it) => LinkGraph.packCsr(part, it) }.toDF(),
+    "csr", Some("part")).as[CsrBlock]
+
+  /** All vertex ids (sources ∪ sinks), partitioned by vid. */
+  lazy val vertices: Dataset[Long] = materialize(
+    edges.select($"src".as("vid"))
+      .union(edges.select($"dst".as("vid"))).distinct().toDF(),
+    "vertices", Some("vid")).as[Long]
+
+  /** (vid, outDeg) for every vertex, 0 for dangling. */
+  lazy val outDegrees: DataFrame = materialize(
+    vertices.toDF("vid")
+      .join(adj.select($"src".as("vid"), size($"dsts").as("outDeg")),
+        Seq("vid"), "left")
+      .na.fill(0, Seq("outDeg")),
+    "out_degrees", Some("vid"))
+
+  /** Symmetrized simple edge set (src<dst, each undirected edge once). */
+  lazy val undirectedEdges: Dataset[Edge] = materialize(
+    edges.select(least($"src", $"dst").as("src"),
+        greatest($"src", $"dst").as("dst")).distinct(),
+    "und_edges", Some("src")).as[Edge]
+
+  lazy val numVertices: Long = vertices.count()
+  lazy val numEdges: Long = edges.count()
+
+  def unpersistAll(): Unit = {
+    edges.unpersist(); adj.unpersist(); csr.unpersist()
+    vertices.unpersist(); outDegrees.unpersist(); undirectedEdges.unpersist()
+  }
+}
+
+object LinkGraph {
+
+  private def tempDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-graph-").toString
+
+  /** Build from a raw directed edge DataFrame with columns (src, dst). */
+  def fromEdges(spark: SparkSession, raw: DataFrame, numParts: Int,
+                storageDir: String = tempDir()): LinkGraph = {
+    import spark.implicits._
+    val e = raw.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    e.write.mode("overwrite").parquet(s"$storageDir/edges")
+    val g = new LinkGraph(spark, storageDir, numParts)
+    g.edges.count()
+    g
+  }
+
+  /** Full ingest: pages table → links (href extraction, SURVEY.md N1) →
+    * url dictionary (dense vids, N3) → edge table. Returns the graph plus
+    * the dictionary for score ↔ url reporting. */
+  def fromPages(spark: SparkSession, pages: DataFrame, numParts: Int,
+                storageDir: String = tempDir()): (LinkGraph, Dataset[VertexUrl]) = {
+    import spark.implicits._
+    val links = extractLinkRows(spark, pages)
+    links.write.mode("overwrite").parquet(s"$storageDir/links")
+    val linksT = spark.read.parquet(s"$storageDir/links").as[LinkRow]
+    val dict = vertexDictionary(spark, linksT, storageDir)
+    val d = broadcast(dict.toDF)
+    val e = linksT.toDF
+      .join(d.select($"url".as("src_url"), $"vid".as("src")), "src_url")
+      .join(d.select($"url".as("dst_url"), $"vid".as("dst")), "dst_url")
+      .select($"src", $"dst")
+    (fromEdges(spark, e, numParts, storageDir), dict)
+  }
+
+  /** Deterministic link extraction: pure function of (url, html) bytes. */
+  def extractLinkRows(spark: SparkSession, pages: DataFrame): Dataset[LinkRow] = {
+    import spark.implicits._
+    pages.select($"url", $"html").as[(String, Array[Byte])]
+      .flatMap { case (url, html) =>
+        val src = Html.normalizeUrl(url)
+        Html.extractLinks(url, html).map(dst => LinkRow(src, dst))
+      }
+      .dropDuplicates("src_url", "dst_url").as[LinkRow]
+  }
+
+  /** Dense vid assignment via global sort + row_number (fine at test
+    * scale; the 10^12-key path is xxhash64-as-vid + collision audit,
+    * SURVEY.md §7.4.3). Materialized to parquet like the other tables. */
+  def vertexDictionary(spark: SparkSession, links: Dataset[LinkRow],
+                       storageDir: String): Dataset[VertexUrl] = {
+    import spark.implicits._
+    val urls = links.select($"src_url".as("url"))
+      .union(links.select($"dst_url".as("url"))).distinct()
+    urls.withColumn("vid",
+        row_number().over(Window.orderBy($"url")).cast("long") - 1L)
+      .select($"vid", $"url")
+      .write.mode("overwrite").parquet(s"$storageDir/dict")
+    val d = spark.read.parquet(s"$storageDir/dict").as[VertexUrl]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    d.count()
+    d
+  }
+
+  /** Pack one partition's adjacency slabs into a CSR block row. */
+  def packCsr(part: Int, slabIt: Iterator[VertexAdj]): CsrBlock = {
+    val slabs = slabIt.toArray.sortBy(_.src)
+    val srcIds = slabs.map(_.src)
+    val offsets = new Array[Int](slabs.length + 1)
+    var i = 0
+    while (i < slabs.length) {
+      offsets(i + 1) = offsets(i) + slabs(i).dsts.length; i += 1
+    }
+    val dsts = new Array[Long](offsets(slabs.length))
+    i = 0
+    while (i < slabs.length) {
+      System.arraycopy(slabs(i).dsts, 0, dsts, offsets(i), slabs(i).dsts.length)
+      i += 1
+    }
+    CsrBlock(part, srcIds, offsets, dsts)
+  }
+
+  /** Out-adjacency for an arbitrary edge Dataset (used for ad-hoc
+    * symmetric adjacency in LPA). Persisted but NOT parquet-backed —
+    * callers must unpersist. */
+  def adjacency(edges: Dataset[Edge], numParts: Int): Dataset[VertexAdj] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val a = edges
+      .groupBy($"src").agg(sort_array(collect_list($"dst")).as("dsts"))
+      .repartition(numParts, $"src")
+      .as[VertexAdj]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    a.count()
+    a
+  }
+}

@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.graph.LinkGraph
+import graft.ckpt.CheckpointStore
+
+/** Global PageRank by power iteration (SURVEY.md N4).
+  *
+  * Conventions (pinned): damping d (default 0.85; FORA's α=0.2 corresponds
+  * to d=0.8 — caller's choice); dangling mass redistributed uniformly over
+  * all n vertices each iteration; scores sum to 1.
+  *
+  * Plan shape per iteration (measured — see git history for the
+  * alternatives that lost):
+  *   - ranks ⋈ adj (cached parquet-backed, hash-partitioned) → explode →
+  *     groupBy(vid) partial+final agg: the ONE row-level shuffle;
+  *   - dangling mass read off the aggregated contribs as 1 − Σcontrib
+  *     (Σrank = 1 invariant) via a one-row broadcast cross-join — no
+  *     second scan of the ranks and no extra driver action;
+  *   - lineage truncated EVERY iteration (localCheckpoint): chaining k
+  *     iterations multiplies AQE query stages ~3× per step (measured
+  *     8→24→220 stages for k=1,2,5), so eager truncation is faster;
+  *   - convergence (L∞ between consecutive iterations) tested every
+  *     `checkEvery` iterations to amortize the compare join.
+  *
+  * Convergence: the iteration contracts by d per step, so per-iteration
+  * L∞ delta < tol implies true error ≤ tol·d/(1−d); tol=1e-8 clears the
+  * 1e-6 allclose gate [BASELINE.json] with ~50× margin.
+  */
+object PageRank {
+
+  case class Result(ranks: DataFrame, iterations: Int, delta: Double)
+
+  def run(graph: LinkGraph, damping: Double = 0.85, tol: Double = 1e-8,
+          maxIter: Int = 300, checkEvery: Int = 5,
+          ckpt: Option[CheckpointStore] = None,
+          resume: Boolean = false): Result = {
+    val spark = graph.spark
+    import spark.implicits._
+    val n = graph.numVertices
+    val adj = graph.adj
+    val base = graph.outDegrees // (vid, outDeg) persisted parquet-backed
+
+    val resumeStep = if (resume) ckpt.flatMap(_.latestSuperstep()) else None
+    var ranks: DataFrame = resumeStep match {
+      case Some(k) => ckpt.get.loadState(k)
+      case None => base.withColumn("rank", lit(1.0 / n))
+    }
+    var iter = resumeStep.map(_ + 1).getOrElse(0)
+    var delta = Double.MaxValue
+
+    def step(r: DataFrame): DataFrame = {
+      val contribs = r.where($"outDeg" > 0)
+        .join(adj, r("vid") === adj("src"))
+        .select(explode($"dsts").as("vid"), ($"rank" / $"outDeg").as("c"))
+        .groupBy($"vid").agg(sum($"c").as("contrib"))
+      val csum = contribs.agg(coalesce(sum($"contrib"), lit(0.0)).as("csum"))
+      base.join(contribs, Seq("vid"), "left")
+        .crossJoin(broadcast(csum))
+        .select($"vid", $"outDeg",
+          (lit((1.0 - damping) / n) +
+            lit(damping) * ((lit(1.0) - $"csum") / n +
+              coalesce($"contrib", lit(0.0)))).as("rank"))
+    }
+
+    while (delta > tol && iter < maxIter) {
+      val prev = ranks
+      ranks = step(ranks).localCheckpoint(true)
+      iter += 1
+      if (iter % checkEvery == 0 || iter >= maxIter) {
+        delta = ranks.as("n")
+          .join(prev.as("o"), col("n.vid") === col("o.vid"))
+          .agg(max(abs(col("n.rank") - col("o.rank")))).as[Double].head()
+        ckpt.foreach { store =>
+          ranks = store.commit(iter, ranks, Map("delta" -> delta),
+            Seq.empty,
+            Map("damping" -> damping.toString, "tol" -> tol.toString))
+        }
+      }
+    }
+    Result(ranks.select($"vid", $"rank"), iter, delta)
+  }
+
+  /** Personalized PageRank by power iteration over the same plan shape
+    * (teleport and dangling mass to the source — matching ForwardPush's
+    * pinned dangling convention). Distributed oracle / cross-check for
+    * ForwardPush (SURVEY.md §5.2). */
+  def personalized(graph: LinkGraph, source: Long, alpha: Double = 0.2,
+                   tol: Double = 1e-12, maxIter: Int = 400,
+                   checkEvery: Int = 10): DataFrame = {
+    val spark = graph.spark
+    import spark.implicits._
+    val adj = graph.adj
+    val base = graph.outDegrees
+
+    def step(r: DataFrame): DataFrame = {
+      val contribs = r.where($"outDeg" > 0 && $"score" > 0)
+        .join(adj, r("vid") === adj("src"))
+        .select(explode($"dsts").as("vid"), ($"score" / $"outDeg").as("c"))
+        .groupBy($"vid").agg(sum($"c").as("contrib"))
+      val csum = contribs.agg(coalesce(sum($"contrib"), lit(0.0)).as("csum"))
+      base.join(contribs, Seq("vid"), "left")
+        .crossJoin(broadcast(csum))
+        .select($"vid", $"outDeg",
+          (when($"vid" === source,
+            lit(alpha) + lit(1 - alpha) * (lit(1.0) - $"csum"))
+            .otherwise(lit(0.0)) +
+            lit(1 - alpha) * coalesce($"contrib", lit(0.0))).as("score"))
+    }
+
+    var scores: DataFrame = base.withColumn("score",
+      when($"vid" === source, lit(1.0)).otherwise(lit(0.0)))
+    var iter = 0
+    var delta = Double.MaxValue
+    while (delta > tol && iter < maxIter) {
+      val prev = scores
+      scores = step(scores).localCheckpoint(true)
+      iter += 1
+      if (iter % checkEvery == 0 || iter >= maxIter) {
+        delta = scores.as("n")
+          .join(prev.as("o"), col("n.vid") === col("o.vid"))
+          .agg(max(abs(col("n.score") - col("o.score")))).as[Double].head()
+      }
+    }
+    scores.select($"vid", $"score")
+  }
+}
