@@ -57,6 +57,73 @@ object SparkEntry {
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
+  // --- unrolled-iteration oracle SQL builders (DuckDB chained CTEs) --------
+
+  /** PPR oracle: `iters` unrolled power-iteration steps with the engine's
+    * pinned conventions (teleport α to source, dangling absorbs). 0.8^100
+    * ≈ 2e-10 residual ⇒ 6-decimal rounding is stable on both sides. */
+  def pprOracleSql(source: Long, alpha: Double, iters: Int): String = {
+    val a = alpha
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS MATERIALIZED ($edgesSql),
+              |deg AS MATERIALIZED (SELECT src, count(*) AS d FROM e GROUP BY src),
+              |v AS MATERIALIZED (SELECT DISTINCT vid FROM
+              |  (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),
+              |it0 AS MATERIALIZED (SELECT vid,
+              |  CASE WHEN vid = $source THEN 1.0 ELSE 0.0 END AS score
+              |  FROM v)""".stripMargin
+    (1 to iters).foreach { k =>
+      sb ++= s""",
+        |it$k AS MATERIALIZED (
+        |  SELECT v.vid,
+        |    $a * (CASE WHEN v.vid = $source THEN 1.0 ELSE 0.0 END)
+        |    + (1-$a) * COALESCE(f.c, 0.0)
+        |    + (1-$a) * (CASE WHEN dg.src IS NULL THEN p.score ELSE 0.0 END)
+        |    AS score
+        |  FROM v
+        |  LEFT JOIN (SELECT e.dst AS vid, SUM(p.score / deg.d) AS c
+        |             FROM it${k - 1} p
+        |             JOIN e ON p.vid = e.src
+        |             JOIN deg ON deg.src = p.vid
+        |             GROUP BY e.dst) f ON v.vid = f.vid
+        |  LEFT JOIN it${k - 1} p ON p.vid = v.vid
+        |  LEFT JOIN deg dg ON dg.src = v.vid)""".stripMargin
+    }
+    sb ++= s"\nSELECT vid, round(score, 6) AS ppr FROM it$iters"
+    sb.toString
+  }
+
+  /** Global PageRank oracle: `iters` unrolled steps, uniform dangling
+    * redistribution, matching ops.PageRank semantics. */
+  def pagerankOracleSql(damping: Double, iters: Int): String = {
+    val d = damping
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS MATERIALIZED ($edgesSql),
+              |deg AS MATERIALIZED (SELECT src, count(*) AS d FROM e GROUP BY src),
+              |v AS MATERIALIZED (SELECT DISTINCT vid FROM
+              |  (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),
+              |nn AS MATERIALIZED (SELECT count(*) AS n FROM v),
+              |it0 AS MATERIALIZED (SELECT vid, 1.0 / nn.n AS score FROM v CROSS JOIN nn)""".stripMargin
+    (1 to iters).foreach { k =>
+      sb ++= s""",
+        |it$k AS MATERIALIZED (
+        |  SELECT v.vid,
+        |    (1-$d) / nn.n
+        |    + $d * (COALESCE(f.c, 0.0) + ds.dsum / nn.n) AS score
+        |  FROM v CROSS JOIN nn
+        |  CROSS JOIN (SELECT COALESCE(SUM(p.score), 0.0) AS dsum
+        |              FROM it${k - 1} p LEFT JOIN deg ON deg.src = p.vid
+        |              WHERE deg.src IS NULL) ds
+        |  LEFT JOIN (SELECT e.dst AS vid, SUM(p.score / deg.d) AS c
+        |             FROM it${k - 1} p
+        |             JOIN e ON p.vid = e.src
+        |             JOIN deg ON deg.src = p.vid
+        |             GROUP BY e.dst) f ON v.vid = f.vid)""".stripMargin
+    }
+    sb ++= s"\nSELECT vid, round(score, 6) AS pagerank FROM it$iters"
+    sb.toString
+  }
+
   // --- the registered operator queries -------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -102,6 +169,36 @@ object SparkEntry {
       ConnectedComponents.run(derivedGraph(s, d)).components
         .groupBy(col("component")).agg(count(lit(1)).as("csize"))
         .groupBy(col("csize")).agg(count(lit(1)).as("n_components"))),
+
+    "g_pagerank" -> ((s, d) => {
+      val g = derivedGraph(s, d)
+      PageRank.run(g, damping = 0.8, tol = 1e-9).ranks
+        .select(col("vid"), round(col("rank"), 6).as("pagerank"))
+    }),
+
+    "g_ppr" -> ((s, d) => {
+      val g = derivedGraph(s, d)
+      val res = ForwardPush.deterministicPpr(g, Map(0 -> 1L), alpha = 0.2,
+        tol = 1e-9)
+      // oracle reports every vertex; fill untouched ones with 0
+      g.vertices.toDF("vid")
+        .join(res.state.select(col("vid"), col("reserve")), Seq("vid"), "left")
+        .select(col("vid"),
+          round(coalesce(col("reserve"), lit(0.0)), 6).as("ppr"))
+    }),
+
+    // randomized / non-SQL-expressible operators: rows-only driver check
+    "g_fora" -> ((s, d) => {
+      val g = derivedGraph(s, d)
+      Fora.query(g, Map(0 -> 1L, 1 -> 2L, 2 -> 3L)).scores
+    }),
+    "g_fora_topk" -> ((s, d) =>
+      Fora.topk(derivedGraph(s, d), 1L, k = 20)),
+    "g_montecarlo" -> ((s, d) =>
+      Fora.montecarlo(derivedGraph(s, d), Map(0 -> 1L),
+        Fora.Params(eps = 0.5, delta = 0.01))),
+    "g_lpa" -> ((s, d) =>
+      LabelPropagation.run(derivedGraph(s, d), rounds = 5)),
 
     // -- documents: text analysis / dedup --
 
@@ -199,6 +296,9 @@ object SparkEntry {
          |          GROUP BY component)
          |SELECT csize, count(*) AS n_components FROM sizes
          |GROUP BY csize""".stripMargin,
+
+    "g_pagerank" -> pagerankOracleSql(damping = 0.8, iters = 100),
+    "g_ppr" -> pprOracleSql(source = 1L, alpha = 0.2, iters = 100),
 
     "d_token_count" ->
       """SELECT doc_id,

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.graph.LinkGraph
+import graft.ckpt.CheckpointStore
+
+/** FORA: Forward Push + Random Walks with (ε,δ,p_f) error budgeting
+  * (SURVEY.md O6/O7/O11/O14; [KDD17 §2].)
+  *
+  * Guarantee at defaults (δ=1/n, p_f=1/n): for every t with π(s,t) > δ,
+  * relative error ≤ ε with probability 1−p_f.
+  *
+  * Budget formulas [KDD17 §4]:
+  *   rmax = (ε/3)·sqrt(δ / ((2ε/3+2)·m·ln(2/p_f))) · rmaxScale
+  *   ω    = rsum·(2ε/3 + 2)·ln(2/p_f) / (ε²·δ)
+  * (ω computed from the ACTUAL post-push rsum, as the reference does.)
+  *
+  * Each residual vertex v launches ω_v = ⌈r(v)·ω/rsum⌉ walks, each
+  * depositing r(v)/ω_v at its endpoint — unbiased since a walk from v
+  * ends at t with probability π(v,t) and the push invariant is
+  * π(s,t) = π°(t) + Σ_v r(v)·π(v,t).
+  */
+object Fora {
+
+  case class Params(alpha: Double = 0.2, eps: Double = 0.5,
+                    delta: Double = Double.NaN, pfail: Double = Double.NaN,
+                    rmaxScale: Double = 1.0, seed: Long = 42L)
+
+  case class QueryResult(scores: DataFrame, // (qid, vid, score)
+                         rsum: Double, rmax: Double, omega: Double,
+                         pushes: Long, walks: Long)
+
+  def rmaxOf(p: Params, m: Long, delta: Double, pfail: Double): Double =
+    (p.eps / 3.0) * math.sqrt(
+      delta / ((2.0 * p.eps / 3.0 + 2.0) * m * math.log(2.0 / pfail))) *
+      p.rmaxScale
+
+  def omegaOf(p: Params, rsum: Double, delta: Double, pfail: Double): Double =
+    rsum * (2.0 * p.eps / 3.0 + 2.0) * math.log(2.0 / pfail) /
+      (p.eps * p.eps * delta)
+
+  /** Whole-graph SSPPR for a batch of sources (EP-A′, SURVEY.md §3.2). */
+  def query(graph: LinkGraph, sources: Map[Int, Long], p: Params = Params(),
+            ckpt: Option[CheckpointStore] = None,
+            walkIndex: Option[WalkIndex.Index] = None): QueryResult = {
+    val spark = graph.spark
+    import spark.implicits._
+    val n = graph.numVertices
+    val delta = if (p.delta.isNaN) 1.0 / n else p.delta
+    val pfail = if (p.pfail.isNaN) 1.0 / n else p.pfail
+    val m = graph.numEdges
+    val rmax = rmaxOf(p, m, delta, pfail)
+
+    val push = ForwardPush.run(graph, sources, p.alpha, rmax, ckpt)
+    val omega = omegaOf(p, push.rsum, delta, pfail)
+
+    val residuals = push.state.where($"residue" > 0)
+      .select($"qid", $"vid", $"residue")
+    // ω_v = ceil(r_v·ω/rsum); each walk deposits r_v/ω_v
+    val seeds = residuals
+      .withColumn("nwalks",
+        ceil($"residue" * lit(omega) / lit(math.max(push.rsum, 1e-300)))
+          .cast("long"))
+      .withColumn("slot", explode(sequence(lit(0L), $"nwalks" - 1)))
+      .select($"qid", $"vid".as("origin"), $"slot", $"vid".as("cur"),
+        ($"residue" / $"nwalks").as("mass"))
+
+    val endpoints = walkIndex match {
+      case Some(idx) => WalkIndex.lookup(graph, idx, seeds, p.alpha, p.seed)
+      case None => RandomWalks.run(graph, seeds, p.alpha, p.seed)
+    }
+    val nWalks = seeds.count()
+
+    val scores = push.state.select($"qid", $"vid", $"reserve".as("mass"))
+      .unionByName(endpoints.select($"qid", $"vid", $"mass"))
+      .groupBy($"qid", $"vid").agg(sum($"mass").as("score"))
+    QueryResult(scores, push.rsum, rmax, omega, push.pushes, nWalks)
+  }
+
+  /** Monte-Carlo baseline (SURVEY.md O14; [KDD17 §2.3]): ω pure walks from
+    * the source, π̂(t) = hits(t)/ω. Correctness cross-check operator. */
+  def montecarlo(graph: LinkGraph, sources: Map[Int, Long],
+                 p: Params = Params()): DataFrame = {
+    val spark = graph.spark
+    import spark.implicits._
+    val n = graph.numVertices
+    val delta = if (p.delta.isNaN) 1.0 / n else p.delta
+    val pfail = if (p.pfail.isNaN) 1.0 / n else p.pfail
+    val omega = math.ceil(
+      3.0 * math.log(2.0 / pfail) / (p.eps * p.eps * delta)).toLong
+    val seeds = sources.toSeq.sortBy(_._1).toDF("qid", "src")
+      .withColumn("slot", explode(sequence(lit(0L), lit(omega - 1))))
+      .select($"qid", $"src".as("origin"), $"slot", $"src".as("cur"),
+        lit(1.0 / omega).as("mass"))
+    RandomWalks.run(graph, seeds, p.alpha, p.seed)
+      .groupBy($"qid", $"vid").agg(sum($"mass").as("score"))
+  }
+
+  /** Deterministic exact top-k by iterative push refinement (SURVEY.md
+    * O12 re-expressed without RNG): reserves are monotone lower bounds
+    * and π ≤ π° + rsum, so once the kth lower bound separates from the
+    * (k+1)th upper bound the prefix is exact. Halve rmax until separated
+    * (or rsum exhausts the floor).
+    *
+    * Tie-break: (score desc, vid asc), deterministic. */
+  def topk(graph: LinkGraph, source: Long, k: Int, alpha: Double = 0.2,
+           floor: Double = 1e-9, maxRounds: Int = 30): DataFrame = {
+    val spark = graph.spark
+    import spark.implicits._
+    val m = graph.numEdges
+    var rmax = 1.0 / (8.0 * math.max(k, 1) * m)
+    var round = 0
+    var result: Option[DataFrame] = None
+    while (result.isEmpty && round < maxRounds) {
+      val push = ForwardPush.run(graph, Map(0 -> source), alpha, rmax)
+      val top = push.state.orderBy(desc("reserve"), asc("vid"))
+        .limit(k + 1).collect()
+      val kth = if (top.length >= k) top(k - 1).getAs[Double]("reserve") else 0.0
+      val next = if (top.length > k) top(k).getAs[Double]("reserve") else 0.0
+      if (push.rsum < floor || kth > next + push.rsum) {
+        result = Some(push.state
+          .select($"vid", $"reserve".as("score"))
+          .orderBy(desc("score"), asc("vid")).limit(k))
+      }
+      rmax /= 4.0
+      round += 1
+    }
+    result.getOrElse(throw new IllegalStateException("topk did not separate"))
+  }
+}

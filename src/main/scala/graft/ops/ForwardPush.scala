@@ -32,8 +32,12 @@ import graft.util.Hashing
   * local[8] vs local[32].
   *
   * Dangling convention (pinned; SURVEY.md §2.4 item 1): a vertex with no
-  * out-edges pushes (1−α)·r back to the query source; π° still gains α·r.
-  * This preserves Σ_t π(s,t) = 1.
+  * out-edges ABSORBS — equivalent to a self-loop, so its entire residual
+  * converts to reserve in closed form (π°(v) += r, geometric series of
+  * self-pushes) and a random walk reaching it terminates there. Chosen
+  * over dangling→source because it keeps the chain independent of the
+  * query source, which the FORA+ walk index requires (an index walk from
+  * v cannot know s). Σ_t π(s,t) = 1 is preserved.
   *
   * Multi-source batching: FORA is embarrassingly parallel across sources;
   * state is keyed by qid so one run answers a whole query set (the
@@ -71,7 +75,6 @@ object ForwardPush {
     import spark.implicits._
     val p = graph.numParts
     val sc = spark.sparkContext
-    val srcByQid = sc.broadcast(sources)
 
     val resumeStep = if (resume) ckpt.flatMap(_.latestSuperstep()) else None
     var state: DataFrame = resumeStep match {
@@ -106,7 +109,7 @@ object ForwardPush {
         .as[CascadeIn]
 
       val out = joined.flatMap { in =>
-        cascade(in, alpha, rmax, p, srcByQid.value, pushAcc.add(_),
+        cascade(in, alpha, rmax, p, pushAcc.add(_),
           remoteAcc.add(_), metricsAcc.add(_))
       }.toDF()
 
@@ -144,7 +147,7 @@ object ForwardPush {
 
   /** Sequential, deterministic push cascade within one partition. */
   private def cascade(in: CascadeIn, alpha: Double, rmax: Double, p: Int,
-                      srcByQid: Map[Int, Long], onPush: Long => Unit,
+                      onPush: Long => Unit,
                       onRemote: Long => Unit, onMetrics: PartMetrics => Unit)
       : Iterator[PushRow] = {
     val srcIds = if (in.srcIds == null) Array.empty[Long] else in.srcIds
@@ -183,6 +186,10 @@ object ForwardPush {
       val deg = if (idx >= 0) degOf(idx) else 0
       if (r > threshold(deg)) {
         pushes += 1
+        if (deg == 0) { // dangling absorbs: closed-form self-loop pushes
+          a(0) += r
+          a(1) = 0.0
+        } else {
         a(0) += alpha * r
         a(1) = 0.0
         val spread = (1.0 - alpha) * r
@@ -202,11 +209,9 @@ object ForwardPush {
             ()
           }
         }
-        if (deg == 0) deposit(qid, srcByQid.getOrElse(qid, vid), spread)
-        else {
-          val share = spread / deg
-          var i = offsets(idx)
-          while (i < offsets(idx + 1)) { deposit(qid, dsts(i), share); i += 1 }
+        val share = spread / deg
+        var i = offsets(idx)
+        while (i < offsets(idx + 1)) { deposit(qid, dsts(i), share); i += 1 }
         }
       }
     }

@@ -82,10 +82,11 @@ object PageRank {
     Result(ranks.select($"vid", $"rank"), iter, delta)
   }
 
-  /** Personalized PageRank by power iteration over the same plan shape
-    * (teleport and dangling mass to the source — matching ForwardPush's
-    * pinned dangling convention). Distributed oracle / cross-check for
-    * ForwardPush (SURVEY.md §5.2). */
+  /** Personalized PageRank by power iteration (teleport α to source;
+    * dangling vertices absorb via self-loop semantics — matching
+    * ForwardPush's pinned dangling convention). Distributed oracle /
+    * cross-check for ForwardPush (SURVEY.md §5.2). Per-iteration lineage
+    * truncation makes the second scan of `r` (dangling self rows) cheap. */
   def personalized(graph: LinkGraph, source: Long, alpha: Double = 0.2,
                    tol: Double = 1e-12, maxIter: Int = 400,
                    checkEvery: Int = 10): DataFrame = {
@@ -95,17 +96,16 @@ object PageRank {
     val base = graph.outDegrees
 
     def step(r: DataFrame): DataFrame = {
-      val contribs = r.where($"outDeg" > 0 && $"score" > 0)
+      val spread = r.where($"outDeg" > 0 && $"score" > 0)
         .join(adj, r("vid") === adj("src"))
         .select(explode($"dsts").as("vid"), ($"score" / $"outDeg").as("c"))
+      val selfLoops = r.where($"outDeg" === 0 && $"score" > 0)
+        .select($"vid", $"score".as("c"))
+      val contribs = spread.unionByName(selfLoops)
         .groupBy($"vid").agg(sum($"c").as("contrib"))
-      val csum = contribs.agg(coalesce(sum($"contrib"), lit(0.0)).as("csum"))
       base.join(contribs, Seq("vid"), "left")
-        .crossJoin(broadcast(csum))
         .select($"vid", $"outDeg",
-          (when($"vid" === source,
-            lit(alpha) + lit(1 - alpha) * (lit(1.0) - $"csum"))
-            .otherwise(lit(0.0)) +
+          (when($"vid" === source, lit(alpha)).otherwise(lit(0.0)) +
             lit(1 - alpha) * coalesce($"contrib", lit(0.0))).as("score"))
     }
 

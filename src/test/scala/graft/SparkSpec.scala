@@ -18,8 +18,9 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 object DenseOracle {
 
   /** PPR with the engine's pinned conventions: teleport α to source;
-    * dangling mass (1−α)·dangling routed back to the source.
-    * Fixed point of p = α·e_s + (1−α)·(Pᵀp + dangling·e_s). */
+    * dangling vertices absorb (self-loop semantics).
+    * Fixed point of p = α·e_s + (1−α)·P'ᵀp, P' = P + self-loops at
+    * dangling rows. */
   def pprFix(n: Int, edges: Seq[(Int, Int)], source: Int, alpha: Double,
              iters: Int = 3000): Array[Double] = {
     val adj = Array.fill(n)(Vector.empty[Int])
@@ -28,16 +29,15 @@ object DenseOracle {
     var k = 0
     while (k < iters) {
       val next = new Array[Double](n)
-      var dangling = 0.0
       var u = 0
       while (u < n) {
-        if (adj(u).isEmpty) dangling += p(u)
+        if (adj(u).isEmpty) next(u) += p(u) // dangling self-loop
         else { val w = p(u) / adj(u).size; adj(u).foreach(v => next(v) += w) }
         u += 1
       }
       var t = 0
       while (t < n) { next(t) *= (1 - alpha); t += 1 }
-      next(source) += alpha + (1 - alpha) * dangling
+      next(source) += alpha
       p = next
       k += 1
     }
