@@ -225,7 +225,56 @@ object SparkEntry {
       docs(s, d).groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"),
-          round(avg(length(col("text"))), 6).as("avg_len")))
+          round(avg(length(col("text"))), 6).as("avg_len"))),
+
+    // -- text analysis (graft.text.TextFunctions) --
+
+    "d_lang_id" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        graft.text.TextFunctions.langId(col("text")).as("lang_id"))),
+
+    "d_quality_score" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        graft.text.TextFunctions.qualityScore(col("text")).as("quality"))),
+
+    "d_fingerprint" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        graft.text.TextFunctions.fingerprint(col("text")).as("fp"))),
+
+    // -- dedup (graft.text.Dedup) --
+
+    "d_jaccard_pairs" -> ((s, d) =>
+      graft.text.Dedup.jaccardPairs(
+        docs(s, d).where(col("doc_id") % 50 === 0), threshold = 0.05)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
+
+    "d_near_dup" -> ((s, d) => // sampled: template corpora near-dup heavily
+      graft.text.Dedup.nearDuplicates(
+        docs(s, d).where(col("doc_id") % 10 === 0), threshold = 0.8)),
+
+    "d_simhash_pairs" -> ((s, d) =>
+      graft.text.Dedup.simhashPairs(
+        docs(s, d).where(col("doc_id") % 10 === 0), maxDist = 8)),
+
+    // -- similarity search (graft.text.Ann) --
+
+    "e_ann_topk" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      graft.text.Ann.bruteForceTopK(emb,
+        emb.where(col("vec_id") < 3).select(col("vec_id").as("qid"),
+          col("embedding")), k = 10)
+    }),
+
+    "e_ann_lsh" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      graft.text.Ann.lshTopK(emb,
+        emb.where(col("vec_id") < 3).select(col("vec_id").as("qid"),
+          col("embedding")), k = 10)
+    }),
+
+    "e_cos_neardup" -> ((s, d) =>
+      graft.text.Ann.cosineNearDuplicates(
+        s.read.parquet(s"$d/embeddings.parquet"), threshold = 0.2))
   )
 
   /** DuckDB-runnable oracle SQL; column names match the Spark results. */
@@ -322,6 +371,40 @@ object SparkEntry {
     "d_lang_agg" ->
       """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
         |  round(avg(length(text)), 6) AS avg_len
-        |FROM documents GROUP BY lang""".stripMargin
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "d_lang_id" -> graft.text.TextFunctions.SqlText.langIdSql,
+    "d_quality_score" -> graft.text.TextFunctions.SqlText.qualitySql,
+    "d_fingerprint" -> graft.text.TextFunctions.SqlText.fingerprintSql,
+
+    "d_jaccard_pairs" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+        |t AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' ')))
+        |        AS tok FROM d),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY doc_id),
+        |cm AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+        |       FROM t x JOIN t y ON x.tok = y.tok AND x.doc_id < y.doc_id
+        |       GROUP BY x.doc_id, y.doc_id)
+        |SELECT a, b, round(j, 6) AS jaccard FROM (
+        |  SELECT cm.a, cm.b,
+        |    CAST(cm.common AS DOUBLE) / (sa.sz + sb.sz - cm.common) AS j
+        |  FROM cm JOIN sz sa ON sa.doc_id = cm.a
+        |          JOIN sz sb ON sb.doc_id = cm.b)
+        |WHERE j >= 0.05""".stripMargin,
+
+    "e_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 3),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT q.qid, c.vec_id,
+        |        list_dot_product(c.v, q.qv) /
+        |        (greatest(sqrt(list_dot_product(c.v, c.v)), 1e-12) *
+        |         greatest(sqrt(list_dot_product(q.qv, q.qv)), 1e-12)) AS cos
+        |      FROM c CROSS JOIN q),
+        |r AS (SELECT qid, vec_id, cos, row_number() OVER
+        |        (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+        |      FROM s)
+        |SELECT qid, rank, vec_id, round(cos, 6) AS cos FROM r
+        |WHERE rank <= 10""".stripMargin
   )
 }

@@ -1,0 +1,103 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * - `bruteForceTopK`: exact cosine top-k — broadcast the (small) query
+  *   set against the corpus, score with codegen'd array expressions
+  *   (`zip_with` + `aggregate`), per-query top-k via window. One corpus
+  *   scan regardless of query count: the baseline and the recall oracle.
+  * - `lshTopK`: random-hyperplane LSH — deterministic pseudo-random
+  *   hyperplanes from xxhash64, bucket by signature prefix, score only
+  *   within the probe buckets. The 100 TB path: candidate set per query
+  *   is corpus/2^bits on average; multi-probe widens recall.
+  * - `ivfTopK`-style coarse quantization is subsumed by lshTopK here
+  *   (hash buckets instead of trained centroids — no training data
+  *   leaves the sandbox).
+  */
+object Ann {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (greatest(norm(a), lit(1e-12)) * greatest(norm(b), lit(1e-12)))
+
+  /** Exact top-k by cosine for each query row.
+    * @param corpus  (idCol, vecCol)
+    * @param queries (qidCol, vecCol) — small, broadcast
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     qidCol: String = "qid"): DataFrame = {
+    val scored = corpus.crossJoin(
+        broadcast(queries.select(col(qidCol), col(vecCol).as("qvec"))))
+      .select(col(qidCol), col(idCol),
+        cosine(col(vecCol).cast("array<double>"),
+          col("qvec").cast("array<double>")).as("cos"))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(desc("cos"), col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane b, dim i):
+    * ±1 from xxhash64(seed, b, i). */
+  private def sigBits(vec: Column, numBits: Int, seed: Long): Column = {
+    val bits = (0 until numBits).map { b =>
+      val s = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => when(pmod(xxhash64(lit(seed), lit(b), i), lit(2)) === 0,
+            x).otherwise(-x)),
+        lit(0.0d), (acc, v) => acc + v)
+      when(s > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH-bucketed approximate top-k: score only candidates sharing the
+    * signature bucket with the query (single-probe; recall measured in
+    * tests against bruteForceTopK). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              numBits: Int = 8, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              qidCol: String = "qid"): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol),
+      sigBits(col(vecCol).cast("array<double>"), numBits, seed).as("bucket"))
+    val q = queries.select(col(qidCol), col(vecCol).as("qvec"),
+      sigBits(col(vecCol).cast("array<double>"), numBits, seed).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .select(col(qidCol), col(idCol),
+        cosine(col(vecCol).cast("array<double>"),
+          col("qvec").cast("array<double>")).as("cos"))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(desc("cos"), col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (dedup by embedding): LSH
+    * buckets → in-bucket pairs above a cosine threshold. */
+  def cosineNearDuplicates(corpus: DataFrame, threshold: Double = 0.95,
+                           numBits: Int = 8, seed: Long = 42L,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sigBits(col(vecCol).cast("array<double>"), numBits, seed).as("bucket"))
+    c.as("x").join(c.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        cosine(col("x.v").cast("array<double>"),
+          col("y.v").cast("array<double>")).as("cos"))
+      .where(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+  }
+}
