@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.LinkGraph
+import graft.ops._
+
+/** Two-parallelism scaling bench (BASELINE.md §3, north rule N10).
+  *
+  * The in-sandbox substitute for N vs 4N executors: the SAME job, input
+  * and seeds at local[P_low] and local[P_high]; efficiency =
+  * (T_low/T_high)/(P_high/P_low). Graph partition count is FIXED (32,
+  * content-derived) across levels so push cascades and walks are
+  * reproducible; only physical parallelism changes.
+  *
+  * Run per level (fresh JVM each — sbt forks):
+  *   SPARK_GRAFT_CPUS=8  SPARK_GRAFT_PAGES=100000 runMain graft.ScalingBench
+  *   SPARK_GRAFT_CPUS=32 SPARK_GRAFT_PAGES=100000 runMain graft.ScalingBench
+  * Each appends one JSON line to BENCH/scaling_runs.jsonl; BENCH/BASELINE.md
+  * is composed from those lines (tools/compose_bench.py).
+  *
+  * Workloads:
+  *   - ingest: pages → links → dict → edges → adjacency/CSR tables
+  *   - pagerank20: 20 fixed power iterations (throughput = 20·m/T edges/s)
+  *   - fora64: batched 64-source SSPPR, ε=0.5, δ=1e-3 (top-PPR regime) →
+  *     sspr_qps and pushes+walks/sec
+  * Checksums (6-dp-rounded sums) printed per workload; the two levels
+  * must agree before timings are accepted.
+  */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_PAGES", "100000").toLong
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH/scaling_runs.jsonl")
+    val spark = GraftSession.local(cpus)
+    import spark.implicits._
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // --- ingest ---
+    val ((graph, dict), tIngest) = timed {
+      val pages = sources.SyntheticPages.generate(spark, nPages, seed = 42L,
+        parts = math.max(cpus * 2, 16))
+      val (g, d) = LinkGraph.fromPages(spark, pages.toDF(), numParts = 32)
+      g.csr.count() // include CSR build in ingest
+      (g, d)
+    }
+    val n = graph.numVertices
+    val m = graph.numEdges
+
+    // JIT/caches warmup: small runs of both phases
+    PageRank.run(graph, 0.85, tol = 0.0, maxIter = 2, checkEvery = 2)
+    Fora.query(graph, Map(0 -> 0L), Fora.Params(eps = 0.5, delta = 1e-2,
+      pfail = 1e-2, seed = 1L))
+
+    // --- pagerank, 20 fixed iterations ---
+    val (pr, tPr) = timed {
+      PageRank.run(graph, damping = 0.85, tol = 0.0, maxIter = 20,
+        checkEvery = 20)
+    }
+    val prSum = pr.ranks.agg(sum(round($"rank" * 1e6) / 1e6)).as[Double].head()
+
+    // --- batched 64-source FORA SSPPR ---
+    val qSources = (0 until 64).map { q =>
+      q -> java.lang.Math.floorMod(util.Hashing.h64(42L, q.toLong, 77L), n)
+    }.toMap
+    val (fq, tFora) = timed {
+      Fora.query(graph, qSources, Fora.Params(eps = 0.5, delta = 1e-3,
+        pfail = 1e-3, seed = 42L))
+    }
+    val foraSum = fq.scores.agg(sum(round($"score" * 1e6) / 1e6))
+      .as[Double].head()
+    val qps = 64.0 / tFora
+    val opsPerSec = (fq.pushes + fq.walkSteps) / tFora
+
+    val json =
+      s"""{"cpus":$cpus,"pages":$nPages,"n":$n,"m":$m,""" +
+        s""""t_ingest":$tIngest,"t_pagerank20":$tPr,""" +
+        s""""pr_edges_per_sec":${20.0 * m / tPr},""" +
+        s""""t_fora64":$tFora,"t_push":${fq.tPushSec},"t_walk":${fq.tWalkSec},"push_supersteps":${fq.pushSupersteps},"sspr_qps":$qps,"ops_per_sec":$opsPerSec,""" +
+        s""""pushes":${fq.pushes},"walks":${fq.walks},"walk_steps":${fq.walkSteps},""" +
+        s""""checksum_pr":$prSum,"checksum_fora":$foraSum}"""
+    println("SCALING " + json)
+    val path = java.nio.file.Paths.get(outPath)
+    java.nio.file.Files.createDirectories(path.getParent)
+    java.nio.file.Files.writeString(path, json + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    spark.stop()
+  }
+}

@@ -92,6 +92,27 @@ final class LinkGraph private (
   lazy val numVertices: Long = vertices.count()
   lazy val numEdges: Long = edges.count()
 
+  /** Whole-graph CSR broadcast for the single-box fast path (ForwardPush/
+    * walks): legitimate whenever the adjacency fits in executor memory
+    * (~16 B/edge); operators fall back to the per-partition CSR-join path
+    * above this limit. */
+  lazy val flatCsr: org.apache.spark.broadcast.Broadcast[FlatCsr] = {
+    val slabs = adj.collect().sortBy(_.src)
+    val srcIds = slabs.map(_.src)
+    val offsets = new Array[Int](slabs.length + 1)
+    var i = 0
+    while (i < slabs.length) {
+      offsets(i + 1) = offsets(i) + slabs(i).dsts.length; i += 1
+    }
+    val dsts = new Array[Long](offsets(slabs.length))
+    i = 0
+    while (i < slabs.length) {
+      System.arraycopy(slabs(i).dsts, 0, dsts, offsets(i), slabs(i).dsts.length)
+      i += 1
+    }
+    spark.sparkContext.broadcast(FlatCsr(srcIds, offsets, dsts))
+  }
+
   def unpersistAll(): Unit = {
     edges.unpersist(); adj.unpersist(); csr.unpersist()
     vertices.unpersist(); outDegrees.unpersist(); undirectedEdges.unpersist()

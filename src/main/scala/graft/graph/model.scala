@@ -28,6 +28,13 @@ case class CsrBlock(part: Int, srcIds: Array[Long], offsets: Array[Int],
   def indexOf(vid: Long): Int = java.util.Arrays.binarySearch(srcIds, vid)
 }
 
+/** Whole-graph CSR (broadcast form for the single-box fast path). */
+case class FlatCsr(srcIds: Array[Long], offsets: Array[Int],
+                   dsts: Array[Long]) {
+  def indexOf(vid: Long): Int = java.util.Arrays.binarySearch(srcIds, vid)
+  def degOf(idx: Int): Int = offsets(idx + 1) - offsets(idx)
+}
+
 /** PPR iteration state for one (query, vertex) pair. `qid` keys batched
   * multi-source runs (FORA is embarrassingly parallel across sources —
   * SURVEY.md §7.4.1); single-source runs use qid=0. */

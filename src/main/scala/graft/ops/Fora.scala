@@ -29,7 +29,9 @@ object Fora {
 
   case class QueryResult(scores: DataFrame, // (qid, vid, score)
                          rsum: Double, rmax: Double, omega: Double,
-                         pushes: Long, walks: Long)
+                         pushes: Long, walks: Long, walkSteps: Long,
+                         pushSupersteps: Int = 0,
+                         tPushSec: Double = 0.0, tWalkSec: Double = 0.0)
 
   def rmaxOf(p: Params, m: Long, delta: Double, pfail: Double): Double =
     (p.eps / 3.0) * math.sqrt(
@@ -52,7 +54,9 @@ object Fora {
     val m = graph.numEdges
     val rmax = rmaxOf(p, m, delta, pfail)
 
+    val t0 = System.nanoTime()
     val push = ForwardPush.run(graph, sources, p.alpha, rmax, ckpt)
+    val tPush = (System.nanoTime() - t0) / 1e9
     val omega = omegaOf(p, push.rsum, delta, pfail)
 
     val residuals = push.state.where($"residue" > 0)
@@ -66,16 +70,22 @@ object Fora {
       .select($"qid", $"vid".as("origin"), $"slot", $"vid".as("cur"),
         ($"residue" / $"nwalks").as("mass"))
 
-    val endpoints = walkIndex match {
-      case Some(idx) => WalkIndex.lookup(graph, idx, seeds, p.alpha, p.seed)
-      case None => RandomWalks.run(graph, seeds, p.alpha, p.seed)
+    val t1 = System.nanoTime()
+    val (endpoints, steps, nWalks) = walkIndex match {
+      case Some(idx) =>
+        val e = WalkIndex.lookup(graph, idx, seeds, p.alpha, p.seed)
+        (e, 0L, seeds.count())
+      case None =>
+        val w = RandomWalks.runCounted(graph, seeds, p.alpha, p.seed)
+        (w.endpoints, w.steps, w.walks)
     }
-    val nWalks = seeds.count()
 
+    val tWalk = (System.nanoTime() - t1) / 1e9
     val scores = push.state.select($"qid", $"vid", $"reserve".as("mass"))
       .unionByName(endpoints.select($"qid", $"vid", $"mass"))
       .groupBy($"qid", $"vid").agg(sum($"mass").as("score"))
-    QueryResult(scores, push.rsum, rmax, omega, push.pushes, nWalks)
+    QueryResult(scores, push.rsum, rmax, omega, push.pushes, nWalks, steps,
+      push.supersteps, tPush, tWalk)
   }
 
   /** Monte-Carlo baseline (SURVEY.md O14; [KDD17 §2.3]): ω pure walks from

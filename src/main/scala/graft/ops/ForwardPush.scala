@@ -59,18 +59,195 @@ object ForwardPush {
   case class Result(state: DataFrame, // (qid, vid, reserve, residue)
                     rsum: Double, supersteps: Int, pushes: Long)
 
+  /** Compact state row for the broadcast-CSR fast path:
+    * key = qid<<40 | vid (vid < 2^40, qid < 2^23). */
+  case class KRow(key: Long, reserve: Double, residue: Double)
+
+  final val VidMask: Long = (1L << 40) - 1
+
+  /** Above this edge count the broadcast-CSR fast path is off and the
+    * per-partition CSR-join path (the 100 TB shape) runs instead. */
+  var fastPathMaxEdges: Long = 20L * 1000 * 1000
+
   /** Run forward push to threshold convergence.
+    *
+    * Dispatches to the broadcast-CSR fast path (compact keys, primitive
+    * cascade, chained shuffle rounds inside one job) when the graph fits
+    * the broadcast budget and no durable checkpointing is requested;
+    * otherwise the per-partition CSR-join path runs (one committed
+    * superstep per exchange — the shape that scales beyond memory).
     *
     * @param sources  qid → source vid
     * @param rmax     push threshold scale: push while r(v) > rmax·max(deg,1)
-    * @param ckpt     optional durable checkpoint store (N9); when absent,
-    *                 supersteps truncate lineage via persist()
+    * @param ckpt     optional durable checkpoint store (N9)
     * @param resume   when true and `ckpt` has committed supersteps, continue
     *                 from the latest manifest instead of the seeds
     */
   def run(graph: LinkGraph, sources: Map[Int, Long], alpha: Double,
           rmax: Double, ckpt: Option[CheckpointStore] = None,
           resume: Boolean = false, maxSupersteps: Int = 10000): Result = {
+    if (ckpt.isEmpty && graph.numEdges <= fastPathMaxEdges)
+      runFast(graph, sources, alpha, rmax, maxSupersteps)
+    else runJoin(graph, sources, alpha, rmax, ckpt, resume, maxSupersteps)
+  }
+
+  /** Broadcast-CSR fast path: state rows are (key, reserve, residue);
+    * each round re-hash-partitions the frontier by vid and cascades with
+    * primitive structures against the broadcast whole-graph CSR;
+    * `chainLen` rounds run inside ONE Spark job before a lineage
+    * truncation, amortizing job/driver latency (the scaling-efficiency
+    * killer measured on the join path). Bitwise deterministic: partition
+    * ownership is pmod(murmur3(vid), P) — fixed by P, not by parallelism
+    * — and every merge happens in sorted key order. */
+  def runFast(graph: LinkGraph, sources: Map[Int, Long], alpha: Double,
+              rmax: Double, maxSupersteps: Int = 10000,
+              chainLen: Int = 8): Result = {
+    val spark = graph.spark
+    import spark.implicits._
+    val p = graph.numParts
+    val sc = spark.sparkContext
+    val csrB = graph.flatCsr
+
+    var state: DataFrame = sources.toSeq.sortBy(_._1)
+      .map { case (q, v) => KRow((q.toLong << 40) | v, 0.0, 1.0) }
+      .toDF()
+    var step = 0
+    var converged = false
+    var totalPushes = 0L
+
+    while (!converged && step < maxSupersteps) {
+      val rounds = math.min(chainLen, maxSupersteps - step)
+      val pushAcc = sc.longAccumulator(s"fpushes_$step")
+      val remoteAcc = sc.longAccumulator(s"fremote_$step")
+      var df = state
+      (0 until rounds).foreach { _ =>
+        df = df.repartition(p, col("key").bitwiseAND(lit(VidMask)))
+          .as[KRow]
+          .mapPartitions { it =>
+            cascadeFast(it, csrB.value, alpha, rmax, p,
+              pushAcc.add(_), remoteAcc.add(_))
+          }
+          .toDF()
+      }
+      state = df.localCheckpoint(true)
+      totalPushes += pushAcc.value
+      converged = remoteAcc.value == 0 && pushAcc.value == 0
+      step += rounds
+    }
+
+    val finalState = state.select(
+      shiftrightunsigned($"key", 40).cast("int").as("qid"),
+      ($"key".bitwiseAND(lit(VidMask))).as("vid"),
+      $"reserve", $"residue")
+    val rsum = finalState.agg(coalesce(sum($"residue"), lit(0.0)))
+      .as[Double].head()
+    Result(finalState, rsum, step, totalPushes)
+  }
+
+  /** Primitive-array cascade for one hash partition (fast path). */
+  private def cascadeFast(it: Iterator[KRow], csr: graft.graph.FlatCsr,
+                          alpha: Double, rmax: Double, p: Int,
+                          onPush: Long => Unit, onRemote: Long => Unit)
+      : Iterator[KRow] = {
+    import graft.util.Prim
+    val pid = org.apache.spark.TaskContext.getPartitionId()
+    val in = new Prim.Rows3(1024)
+    it.foreach(r => in.append(r.key, r.reserve, r.residue))
+    if (in.n == 0) { onPush(0L); onRemote(0L); return Iterator.empty }
+    Prim.sort3(in.keys, in.a, in.b, 0, in.n - 1)
+
+    val map = new Prim.LongSlotMap(in.n)
+    val store = new Prim.Rows3(in.n)
+    var degs = new Array[Int](store.keys.length)
+    def slotOf(key: Long): Int = {
+      val s = map.getOrInsert(key, store.n)
+      if (s == store.n) {
+        store.append(key, 0.0, 0.0)
+        if (degs.length < store.keys.length)
+          degs = java.util.Arrays.copyOf(degs, store.keys.length)
+        val idx = csr.indexOf(key & VidMask)
+        degs(s) = if (idx >= 0) idx else -1 // store csr INDEX, -1 dangling
+      }
+      s
+    }
+    var i = 0
+    while (i < in.n) {
+      val s = slotOf(in.keys(i))
+      store.a(s) += in.a(i); store.b(s) += in.b(i)
+      i += 1
+    }
+    def thresholdOf(s: Int): Double = {
+      val idx = degs(s)
+      val d = if (idx >= 0) csr.degOf(idx) else 0
+      rmax * math.max(d, 1)
+    }
+
+    val queue = new Prim.IntQueue(store.n)
+    val inQ = new java.util.BitSet(store.n)
+    i = 0
+    while (i < store.n) { // slot order == sorted first-occurrence order
+      if (store.b(i) > thresholdOf(i)) { queue.add(i); inQ.set(i) }
+      i += 1
+    }
+
+    val remoteMap = new Prim.LongSlotMap(64)
+    val remote = new Prim.Rows3(64)
+    var pushes = 0L
+    while (queue.nonEmpty) {
+      val s = queue.poll()
+      inQ.clear(s)
+      val r = store.b(s)
+      if (r > thresholdOf(s)) {
+        pushes += 1
+        val idx = degs(s)
+        if (idx < 0) { // dangling absorbs (closed-form self-loop series)
+          store.a(s) += r
+          store.b(s) = 0.0
+        } else {
+          store.a(s) += alpha * r
+          store.b(s) = 0.0
+          val deg = csr.degOf(idx)
+          val share = (1.0 - alpha) * r / deg
+          val qbits = store.keys(s) & ~VidMask
+          var e = csr.offsets(idx)
+          val end = csr.offsets(idx + 1)
+          while (e < end) {
+            val dv = csr.dsts(e)
+            val dkey = qbits | dv
+            if (java.lang.Math.floorMod(
+                org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(dv, 42),
+                p) == pid) {
+              val s2 = slotOf(dkey)
+              store.b(s2) += share
+              if (store.b(s2) > thresholdOf(s2) && !inQ.get(s2)) {
+                queue.add(s2); inQ.set(s2)
+              }
+            } else {
+              val rs = remoteMap.getOrInsert(dkey, remote.n)
+              if (rs == remote.n) remote.append(dkey, 0.0, 0.0)
+              remote.b(rs) += share
+            }
+            e += 1
+          }
+        }
+      }
+    }
+    onPush(pushes)
+    onRemote(remote.n.toLong)
+
+    val localIt = (0 until store.n).iterator
+      .filter(s => store.a(s) != 0.0 || store.b(s) != 0.0)
+      .map(s => KRow(store.keys(s), store.a(s), store.b(s)))
+    val remoteIt = (0 until remote.n).iterator
+      .map(s => KRow(remote.keys(s), 0.0, remote.b(s)))
+    localIt ++ remoteIt
+  }
+
+  /** Per-partition CSR-join path (scales beyond broadcast memory;
+    * supports durable per-superstep checkpoint + resume). */
+  def runJoin(graph: LinkGraph, sources: Map[Int, Long], alpha: Double,
+              rmax: Double, ckpt: Option[CheckpointStore] = None,
+              resume: Boolean = false, maxSupersteps: Int = 10000): Result = {
     val spark = graph.spark
     import spark.implicits._
     val p = graph.numParts

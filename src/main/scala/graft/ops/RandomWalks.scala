@@ -10,21 +10,26 @@ import graft.graph.LinkGraph
   * `xxhash64(seed, origin, slot, step, tag)` — a pure function of the
   * walk's identity, never of partition/task/order — so results are
   * bitwise identical at any parallelism AND the precomputed walk index
-  * (WalkIndex) reproduces exactly the endpoints the live walk would
-  * produce for the same (origin, slot).
+  * (WalkIndex) reproduces exactly the endpoints a live walk would produce
+  * for the same (origin, slot).
   *
   * Semantics (pinned): at each step (including step 0 at the origin) the
-  * walk stops with probability α at the current vertex; otherwise it moves
-  * to a uniformly random out-neighbor; a walk reaching a dangling vertex
-  * terminates there (absorb convention, matching ForwardPush).
+  * walk stops with probability α at the current vertex; otherwise it
+  * moves to a uniformly random out-neighbor; a walk reaching a dangling
+  * vertex terminates there (absorb convention, matching ForwardPush).
   *
-  * Plan shape per step: live ⋈ adj (cached, hash-partitioned on src) →
-  * stop/move decision in codegen'd expressions → localCheckpoint; stopped
-  * rows accumulate per step as cheap LogicalRDD slices. Walks of every
-  * query in a batch advance together — per-step overhead is amortized
-  * across the whole query set.
+  * Execution shape: walks carry a `done` flag and advance
+  * `hopsPerEpoch` hops inside ONE job (chained joins against the cached
+  * hash-partitioned adjacency — each intermediate frame referenced
+  * exactly once, so the epoch plan grows linearly, not exponentially),
+  * then one localCheckpoint truncates lineage and finished walks leave
+  * the live set. This amortizes driver/job latency across hops — the
+  * dominant scaling-efficiency killer before (per-hop actions capped
+  * efficiency at ~0.3; epoching moves wall time into parallel work).
   */
 object RandomWalks {
+
+  case class WalkResult(endpoints: DataFrame, steps: Long, walks: Long)
 
   /** u ~ U[0,1) from chained counters, identical to Hashing.u01. */
   private def u01(seed: Long, cols: Column*): Column =
@@ -37,44 +42,62 @@ object RandomWalks {
   /** Advance walks to termination.
     *
     * @param seeds (qid: Int, origin: Long, slot: Long, cur: Long,
-    *              mass: Double) — one row per walk; `cur` = start vertex
-    *              (origin for live FORA walks).
-    * @return (qid, origin, slot, vid, mass) — one endpoint row per walk,
-    *         NOT yet aggregated (WalkIndex.build needs origin/slot).
+    *              mass: Double) — one row per walk; `cur` = start vertex.
+    * @return (qid, origin, slot, vid, mass) — one endpoint row per walk.
     */
   def run(graph: LinkGraph, seeds: DataFrame, alpha: Double, seed: Long,
-          maxSteps: Int = 300): DataFrame = {
+          maxSteps: Int = 300): DataFrame =
+    runCounted(graph, seeds, alpha, seed, maxSteps).endpoints
+
+  /** As `run`, also reporting total walk-steps and walk count — feeds the
+    * pushes+walks/sec bench metric (BASELINE.md §1). */
+  def runCounted(graph: LinkGraph, seeds: DataFrame, alpha: Double,
+                 seed: Long, maxSteps: Int = 300,
+                 hopsPerEpoch: Int = 8): WalkResult = {
     val spark = graph.spark
     val adj = graph.adj.toDF()
 
-    var live = seeds.localCheckpoint(true)
-    val stopped = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var step = 0
-    var n = live.count()
-    while (n > 0 && step < maxSteps) {
-      val joined = live.join(adj, live("cur") === adj("src"), "left")
+    /** one hop; done rows pass through (join key nulled so the left join
+      * misses and the walk keeps its endpoint). `nsteps` counts real hops
+      * per walk so total step accounting is exact. */
+    def hop(df: DataFrame, step: Int): DataFrame = {
+      val joined = df.join(adj,
+        when(col("done"), lit(-1L)).otherwise(col("cur")) === adj("src"),
+        "left")
       val stopDraw = u01(seed, col("origin"), col("slot"), lit(step), lit(0L))
-      val decided = joined.select(
-          col("qid"), col("origin"), col("slot"), col("cur"), col("mass"),
-          (col("dsts").isNull || stopDraw < lit(alpha)).as("stop"),
-          when(col("dsts").isNotNull,
-            element_at(col("dsts"),
-              (pick(seed, size(col("dsts")), col("origin"), col("slot"),
-                lit(step), lit(1L)) + 1).cast("int")))
-            .as("next"))
-        .localCheckpoint(true)
-      stopped += decided.where(col("stop"))
-        .select(col("qid"), col("origin"), col("slot"),
-          col("cur").as("vid"), col("mass"))
-      live = decided.where(!col("stop"))
-        .select(col("qid"), col("origin"), col("slot"),
-          col("next").as("cur"), col("mass"))
-      n = live.count()
-      step += 1
+      val stops = col("done") || col("dsts").isNull || stopDraw < lit(alpha)
+      joined.select(
+        col("qid"), col("origin"), col("slot"),
+        when(stops, col("cur"))
+          .otherwise(element_at(col("dsts"),
+            (pick(seed, size(col("dsts")), col("origin"), col("slot"),
+              lit(step), lit(1L)) + 1).cast("int"))).as("cur"),
+        col("mass"),
+        stops.as("done"),
+        (col("nsteps") + when(col("done"), 0).otherwise(1)).as("nsteps"))
     }
-    // force-stop stragglers at the cap (P(survive 300 steps) = 0.8^300)
-    val tail = live.select(col("qid"), col("origin"), col("slot"),
+
+    var live = seeds.withColumn("done", lit(false))
+      .withColumn("nsteps", lit(0L)).localCheckpoint(true)
+    val finished = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val walks = live.count()
+    var n = walks
+    var step = 0
+    while (n > 0 && step < maxSteps) {
+      val hops = math.min(hopsPerEpoch, maxSteps - step)
+      var cur = live
+      (0 until hops).foreach(h => cur = hop(cur, step + h))
+      val epoch = cur.localCheckpoint(true)
+      finished += epoch.where(col("done"))
+      live = epoch.where(!col("done"))
+      n = live.count()
+      step += hops
+    }
+    val all = finished.foldLeft(live)(_ unionByName _).localCheckpoint(true)
+    val steps = all.agg(coalesce(sum(col("nsteps")), lit(0L)))
+      .collect()(0).getLong(0)
+    val endpoints = all.select(col("qid"), col("origin"), col("slot"),
       col("cur").as("vid"), col("mass"))
-    stopped.foldLeft(tail)(_ unionByName _)
+    WalkResult(endpoints, steps, walks)
   }
 }

@@ -1,0 +1,156 @@
+package graft.util
+
+/** Allocation-free primitive helpers for the push/walk inner loops.
+  * (The boxed first cut — tuple-keyed LinkedHashMap + sortBy — cost ~6s
+  * per 6.4M-row superstep in GC pressure alone; these bring the cascade
+  * to primitive-array speed.) */
+object Prim {
+
+  /** Quicksort three parallel arrays by the key array, in place. */
+  def sort3(k: Array[Long], a: Array[Double], b: Array[Double],
+            lo0: Int, hi0: Int): Unit = {
+    def swap(i: Int, j: Int): Unit = {
+      val tk = k(i); k(i) = k(j); k(j) = tk
+      val ta = a(i); a(i) = a(j); a(j) = ta
+      val tb = b(i); b(i) = b(j); b(j) = tb
+    }
+    def sort(lo: Int, hi: Int): Unit = {
+      if (hi - lo < 12) { // insertion sort for small ranges
+        var i = lo + 1
+        while (i <= hi) {
+          val kk = k(i); val aa = a(i); val bb = b(i)
+          var j = i - 1
+          while (j >= lo && k(j) > kk) {
+            k(j + 1) = k(j); a(j + 1) = a(j); b(j + 1) = b(j); j -= 1
+          }
+          k(j + 1) = kk; a(j + 1) = aa; b(j + 1) = bb
+          i += 1
+        }
+      } else {
+        val mid = lo + (hi - lo) / 2
+        if (k(mid) < k(lo)) swap(mid, lo)
+        if (k(hi) < k(lo)) swap(hi, lo)
+        if (k(hi) < k(mid)) swap(hi, mid)
+        val pivot = k(mid)
+        var i = lo; var j = hi
+        while (i <= j) {
+          while (k(i) < pivot) i += 1
+          while (k(j) > pivot) j -= 1
+          if (i <= j) { swap(i, j); i += 1; j -= 1 }
+        }
+        if (lo < j) sort(lo, j)
+        if (i < hi) sort(i, hi)
+      }
+    }
+    if (hi0 > lo0) sort(lo0, hi0)
+  }
+
+  /** Open-addressing long→slot map with linear probing. Slots index the
+    * caller's parallel growable arrays. */
+  final class LongSlotMap(initCap: Int) {
+    private var cap = {
+      var c = 16
+      while (c < initCap * 2) c <<= 1
+      c
+    }
+    private var mask = cap - 1
+    private var keys = new Array[Long](cap)
+    private var slots = new Array[Int](cap)
+    java.util.Arrays.fill(slots, -1)
+    private var n = 0
+
+    def size: Int = n
+
+    private def rehash(): Unit = {
+      val ok = keys; val os = slots
+      cap <<= 1; mask = cap - 1
+      keys = new Array[Long](cap)
+      slots = new Array[Int](cap)
+      java.util.Arrays.fill(slots, -1)
+      var i = 0
+      while (i < ok.length) {
+        if (os(i) >= 0) insertRaw(ok(i), os(i))
+        i += 1
+      }
+    }
+
+    private def insertRaw(k: Long, slot: Int): Unit = {
+      var i = (scala.util.hashing.byteswap64(k) & mask).toInt
+      while (slots(i) >= 0) i = (i + 1) & mask
+      keys(i) = k; slots(i) = slot
+    }
+
+    /** Slot of k, or -1. */
+    def get(k: Long): Int = {
+      var i = (scala.util.hashing.byteswap64(k) & mask).toInt
+      while (slots(i) >= 0) {
+        if (keys(i) == k) return slots(i)
+        i = (i + 1) & mask
+      }
+      -1
+    }
+
+    /** Existing slot of k, or assign `newSlot` to it. Returns the slot. */
+    def getOrInsert(k: Long, newSlot: Int): Int = {
+      var i = (scala.util.hashing.byteswap64(k) & mask).toInt
+      while (slots(i) >= 0) {
+        if (keys(i) == k) return slots(i)
+        i = (i + 1) & mask
+      }
+      keys(i) = k; slots(i) = newSlot; n += 1
+      if (n * 4 > cap * 3) rehash()
+      newSlot
+    }
+  }
+
+  /** Growable primitive ring queue of ints. */
+  final class IntQueue(initCap: Int) {
+    private var arr = new Array[Int](math.max(16, initCap))
+    private var head = 0
+    private var tail = 0 // exclusive
+    private var n = 0
+    def isEmpty: Boolean = n == 0
+    def nonEmpty: Boolean = n > 0
+    def add(x: Int): Unit = {
+      if (n == arr.length) {
+        val na = new Array[Int](arr.length << 1)
+        var i = 0
+        while (i < n) { na(i) = arr((head + i) % arr.length); i += 1 }
+        arr = na; head = 0; tail = n
+      }
+      arr(tail) = x
+      tail += 1
+      if (tail == arr.length) tail = 0
+      n += 1
+    }
+    def poll(): Int = {
+      val x = arr(head)
+      head += 1
+      if (head == arr.length) head = 0
+      n -= 1
+      x
+    }
+  }
+
+  /** Growable parallel (long, double, double) column store. */
+  final class Rows3(initCap: Int) {
+    var keys = new Array[Long](math.max(16, initCap))
+    var a = new Array[Double](keys.length)
+    var b = new Array[Double](keys.length)
+    var n = 0
+    def ensure(extra: Int): Unit = {
+      if (n + extra > keys.length) {
+        var c = keys.length
+        while (c < n + extra) c <<= 1
+        keys = java.util.Arrays.copyOf(keys, c)
+        a = java.util.Arrays.copyOf(a, c)
+        b = java.util.Arrays.copyOf(b, c)
+      }
+    }
+    def append(k: Long, x: Double, y: Double): Int = {
+      ensure(1)
+      keys(n) = k; a(n) = x; b(n) = y; n += 1
+      n - 1
+    }
+  }
+}

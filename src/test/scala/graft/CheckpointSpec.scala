@@ -33,12 +33,15 @@ class CheckpointSpec extends SparkSpec {
           .map(x => (x.getInt(0), x.getLong(1), x.getDouble(2), x.getDouble(3)))
           .toSeq
 
-      val full = ForwardPush.deterministicPpr(g, Map(0 -> 0L), 0.2, 1e-5)
+      // use the join path for the bitwise reference: the resumed runs are
+      // join-path (ckpt), and the fast path is only rsum-equivalent
+      val rmax = 1e-5 / (g.numEdges + g.numVertices)
+      val full = ForwardPush.runJoin(g, Map(0 -> 0L), 0.2, rmax)
 
       // interrupted run: stop after 2 supersteps, then resume
       val root = Files.createTempDirectory("ckpt-ppr-").toString
       val store = new CheckpointStore(spark, root, "ppr")
-      val partial = ForwardPush.deterministicPpr(g, Map(0 -> 0L), 0.2, 1e-5,
+      val partial = ForwardPush.runJoin(g, Map(0 -> 0L), 0.2, rmax,
         ckpt = Some(store))
       // materialize NOW: the resumed run below overwrites the state dirs
       // this lazy DataFrame points at
@@ -51,7 +54,7 @@ class CheckpointSpec extends SparkSpec {
       }
       assert(new CheckpointStore(spark, root, "ppr").latestSuperstep()
         .contains(2))
-      val resumed = ForwardPush.deterministicPpr(g, Map(0 -> 0L), 0.2, 1e-5,
+      val resumed = ForwardPush.runJoin(g, Map(0 -> 0L), 0.2, rmax,
         ckpt = Some(new CheckpointStore(spark, root, "ppr")), resume = true)
 
       val fullRows = collectState(full)

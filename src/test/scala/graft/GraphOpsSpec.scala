@@ -278,3 +278,35 @@ class LabelPropagationSpec extends SparkSpec {
     } finally g.unpersistAll()
   }
 }
+
+class PushPathEquivalenceSpec extends SparkSpec {
+  import TestGraphs._
+
+  test("fast (broadcast-CSR) and join paths agree within the rsum bound") {
+    val rnd = new scala.util.Random(5)
+    val edges = (Seq.tabulate(80)(i => (i % 40, (i * 11 + 3) % 40)) ++
+      Seq.fill(120)((rnd.nextInt(40), rnd.nextInt(40))))
+      .filter(e => e._1 != e._2).distinct
+    val g = graph(edges)
+    try {
+      val rmax = 1e-6 / (g.numEdges + g.numVertices)
+      def rows(r: graft.ops.ForwardPush.Result) =
+        r.state.orderBy("qid", "vid").collect()
+          .map(x => (x.getInt(0), x.getLong(1), x.getDouble(2), x.getDouble(3)))
+          .toSeq
+      val fast = graft.ops.ForwardPush.runFast(g, Map(0 -> 0L, 1 -> 7L), 0.2, rmax)
+      val join = graft.ops.ForwardPush.runJoin(g, Map(0 -> 0L, 1 -> 7L), 0.2, rmax)
+      // different partition-ownership functions push in different orders,
+      // so leftover residue lands differently — but both honor the same
+      // threshold contract: reserves agree within rsum_fast + rsum_join
+      val (fr, jr) = (rows(fast), rows(join))
+      val jm = jr.map(t => (t._1, t._2) -> t._3).toMap
+      val bound = fast.rsum + join.rsum + 1e-12
+      fr.foreach { a =>
+        val b = jm.getOrElse((a._1, a._2), 0.0)
+        assert(math.abs(a._3 - b) <= bound, s"$a vs $b bound=$bound")
+      }
+      assert(fast.rsum <= 2e-6 && join.rsum <= 2e-6)
+    } finally g.unpersistAll()
+  }
+}
