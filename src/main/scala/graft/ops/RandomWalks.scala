@@ -54,6 +54,8 @@ object RandomWalks {
   def runCounted(graph: LinkGraph, seeds: DataFrame, alpha: Double,
                  seed: Long, maxSteps: Int = 300,
                  hopsPerEpoch: Int = 8): WalkResult = {
+    if (graph.numEdges <= ForwardPush.fastPathMaxEdges)
+      return runLocal(graph, seeds, alpha, seed, maxSteps)
     val spark = graph.spark
     val adj = graph.adj.toDF()
 
@@ -77,7 +79,9 @@ object RandomWalks {
         (col("nsteps") + when(col("done"), 0).otherwise(1)).as("nsteps"))
     }
 
-    var live = seeds.withColumn("done", lit(false))
+    var live = seeds
+      .repartition(spark.sparkContext.defaultParallelism * 2)
+      .withColumn("done", lit(false))
       .withColumn("nsteps", lit(0L)).localCheckpoint(true)
     val finished = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val walks = live.count()
@@ -99,5 +103,60 @@ object RandomWalks {
     val endpoints = all.select(col("qid"), col("origin"), col("slot"),
       col("cur").as("vid"), col("mass"))
     WalkResult(endpoints, steps, walks)
+  }
+
+  case class SeedRow(qid: Int, origin: Long, slot: Long, cur: Long,
+                     mass: Double)
+  case class EndRow(qid: Int, origin: Long, slot: Long, vid: Long,
+                    mass: Double, nsteps: Long)
+
+  /** Fast path: when the graph fits the broadcast budget, each walk runs
+    * to termination inside ONE mapPartitions stage against the broadcast
+    * whole-graph CSR — zero joins, zero shuffles, embarrassingly parallel
+    * (the hop-join path stalled on hub skew: walks pile onto high-PPR
+    * vertices and one task carried most of every hop).
+    *
+    * The RNG replays the column pipeline EXACTLY:
+    * `Hashing.h64(42, seed, origin, slot, step, tag)` ==
+    * `xxhash64(lit(seed), origin, slot, step, tag)`, so fast/join paths
+    * and the FORA+ walk index all produce identical endpoints. */
+  private def runLocal(graph: LinkGraph, seeds: DataFrame, alpha: Double,
+                       seed: Long, maxSteps: Int): WalkResult = {
+    val spark = graph.spark
+    import spark.implicits._
+    import graft.util.Hashing
+    val csrB = graph.flatCsr
+    val ends = seeds
+      .repartition(spark.sparkContext.defaultParallelism * 2)
+      .as[SeedRow]
+      .mapPartitions { it =>
+        val csr = csrB.value
+        it.map { sd =>
+          var cur = sd.cur
+          var step = 0
+          var done = false
+          while (!done && step < maxSteps) {
+            val idx = csr.indexOf(cur)
+            if (idx < 0) done = true // dangling absorbs: stop here
+            else if (Hashing.toUnit(Hashing.h64(42L, seed, sd.origin,
+                sd.slot, step.toLong, 0L)) < alpha) done = true
+            else {
+              val deg = csr.degOf(idx)
+              val pick = java.lang.Math.floorMod(Hashing.h64(42L, seed,
+                sd.origin, sd.slot, step.toLong, 1L), deg.toLong).toInt
+              cur = csr.dsts(csr.offsets(idx) + pick)
+            }
+            step += 1
+          }
+          EndRow(sd.qid, sd.origin, sd.slot, cur, sd.mass, step.toLong)
+        }
+      }
+      .toDF()
+      .localCheckpoint(true)
+    val walks = ends.count()
+    val steps = ends.agg(coalesce(sum(col("nsteps")), lit(0L)))
+      .collect()(0).getLong(0)
+    WalkResult(ends.select(col("qid"), col("origin"), col("slot"),
+      col("vid"), col("mass")), steps, walks)
   }
 }
