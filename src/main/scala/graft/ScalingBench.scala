@@ -81,13 +81,26 @@ object ScalingBench {
     val qps = 64.0 / tFora
     val opsPerSec = (fq.pushes + fq.walkSteps) / tFora
 
+    // --- FORA+ (precomputed walk index): build once, query the same 64
+    // sources — the reference's headline ~10× query-time speedup path ---
+    val foraP = Fora.Params(eps = 0.5, delta = 1e-3, pfail = 1e-3, seed = 42L)
+    val (idx, tIdxBuild) = timed { WalkIndex.build(graph, foraP) }
+    val idxRuns = (0 until repeats).map { _ =>
+      timed { Fora.query(graph, qSources, foraP, walkIndex = Some(idx)) }
+    }
+    val (fqi, tForaIdx) = idxRuns.minBy(_._2)
+    val foraIdxSum = fqi.scores.agg(sum(round($"score" * 1e6) / 1e6))
+      .as[Double].head()
+    val qpsIdx = 64.0 / tForaIdx
+
     val json =
       s"""{"cpus":$cpus,"pages":$nPages,"n":$n,"m":$m,"repeats":$repeats,""" +
         s""""t_ingest":$tIngest,"t_pagerank20":$tPr,""" +
         s""""pr_edges_per_sec":${20.0 * m / tPr},""" +
         s""""t_fora64":$tFora,"t_push":${fq.tPushSec},"t_walk":${fq.tWalkSec},"push_supersteps":${fq.pushSupersteps},"sspr_qps":$qps,"ops_per_sec":$opsPerSec,""" +
         s""""pushes":${fq.pushes},"walks":${fq.walks},"walk_steps":${fq.walkSteps},""" +
-        s""""checksum_pr":$prSum,"checksum_fora":$foraSum}"""
+        s""""t_idx_build":$tIdxBuild,"t_fora64_idx":$tForaIdx,"sspr_qps_idx":$qpsIdx,""" +
+        s""""checksum_pr":$prSum,"checksum_fora":$foraSum,"checksum_fora_idx":$foraIdxSum}"""
     println("SCALING " + json)
     val path = java.nio.file.Paths.get(outPath)
     java.nio.file.Files.createDirectories(path.getParent)

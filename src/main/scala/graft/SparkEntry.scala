@@ -54,15 +54,22 @@ object SparkEntry {
     graphCache.getOrElseUpdate(sfDir,
       LinkGraph.fromEdges(spark, derivedEdges(spark, sfDir), numParts = 16))
 
+  // g_tri_count and g_tri_pervertex share one wedge-join scan per sfDir
+  private val triCache = TrieMap.empty[String, DataFrame]
+  private def triangleTable(spark: SparkSession, sfDir: String): DataFrame =
+    triCache.getOrElseUpdate(sfDir,
+      Triangles.triangles(derivedGraph(spark, sfDir)))
+
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
   // --- unrolled-iteration oracle SQL builders (DuckDB chained CTEs) --------
 
-  /** PPR oracle: `iters` unrolled power-iteration steps with the engine's
-    * pinned conventions (teleport α to source, dangling absorbs). 0.8^100
-    * ≈ 2e-10 residual ⇒ 6-decimal rounding is stable on both sides. */
-  def pprOracleSql(source: Long, alpha: Double, iters: Int): String = {
+  /** Shared CTE chain for the PPR oracle: `iters` unrolled power-iteration
+    * steps with the engine's pinned conventions (teleport α to source,
+    * dangling absorbs). 0.8^100 ≈ 2e-10 residual ⇒ 6-decimal rounding is
+    * stable on both sides. Callers append their own final SELECT. */
+  private def pprCtes(source: Long, alpha: Double, iters: Int): String = {
     val a = alpha
     val sb = new StringBuilder
     sb ++= s"""WITH e AS MATERIALIZED ($edgesSql),
@@ -89,7 +96,81 @@ object SparkEntry {
         |  LEFT JOIN it${k - 1} p ON p.vid = v.vid
         |  LEFT JOIN deg dg ON dg.src = v.vid)""".stripMargin
     }
-    sb ++= s"\nSELECT vid, round(score, 6) AS ppr FROM it$iters"
+    sb.toString
+  }
+
+  def pprOracleSql(source: Long, alpha: Double, iters: Int): String =
+    pprCtes(source, alpha, iters) +
+      s"\nSELECT vid, round(score, 6) AS ppr FROM it$iters"
+
+  /** Top-k oracle: order by FULL-precision score, round only in the
+    * output — matches topk's (reserve desc, vid asc) selection. */
+  def topkOracleSql(source: Long, alpha: Double, iters: Int, k: Int): String =
+    pprCtes(source, alpha, iters) +
+      s"""\nSELECT vid, round(score, 6) AS score FROM it$iters
+         |ORDER BY score DESC, vid LIMIT $k""".stripMargin
+
+  /** BiPPR pair oracle: the forward CTE's value at the target vertex. */
+  def bipprOracleSql(source: Long, target: Long, alpha: Double,
+                     iters: Int): String =
+    pprCtes(source, alpha, iters) +
+      s"""\nSELECT CAST($source AS BIGINT) AS s, CAST($target AS BIGINT) AS t,
+         |  round(score, 6) AS bippr FROM it$iters WHERE vid = $target""".stripMargin
+
+  /** Backward-push oracle: reverse power iteration for π(·, target) with
+    * the absorb convention (dangling u keeps its own mass: π(u,·)=δ_u). */
+  def backwardOracleSql(target: Long, alpha: Double, iters: Int): String = {
+    val a = alpha
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS MATERIALIZED ($edgesSql),
+              |deg AS MATERIALIZED (SELECT src, count(*) AS d FROM e GROUP BY src),
+              |v AS MATERIALIZED (SELECT DISTINCT vid FROM
+              |  (SELECT src AS vid FROM e UNION ALL SELECT dst FROM e)),
+              |it0 AS MATERIALIZED (SELECT vid, 0.0 AS score FROM v)""".stripMargin
+    (1 to iters).foreach { k =>
+      sb ++= s""",
+        |it$k AS MATERIALIZED (
+        |  SELECT v.vid,
+        |    $a * (CASE WHEN v.vid = $target THEN 1.0 ELSE 0.0 END)
+        |    + (1-$a) * (CASE WHEN dg.src IS NULL THEN p.score
+        |                ELSE COALESCE(f.c, 0.0) END) AS score
+        |  FROM v
+        |  LEFT JOIN (SELECT e.src AS vid, SUM(p.score / deg.d) AS c
+        |             FROM it${k - 1} p
+        |             JOIN e ON p.vid = e.dst
+        |             JOIN deg ON deg.src = e.src
+        |             GROUP BY e.src) f ON v.vid = f.vid
+        |  LEFT JOIN it${k - 1} p ON p.vid = v.vid
+        |  LEFT JOIN deg dg ON dg.src = v.vid)""".stripMargin
+    }
+    sb ++= s"\nSELECT vid, round(score, 6) AS bppr FROM it$iters"
+    sb.toString
+  }
+
+  /** LPA oracle: `rounds` unrolled plurality steps over the symmetrized
+    * undirected edge set, tie-break (count desc, label asc) — exactly
+    * ops.LabelPropagation's max_by(label, struct(cnt, -label)). */
+  def lpaOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS MATERIALIZED ($edgesSql),
+              |und AS MATERIALIZED (SELECT DISTINCT least(src,dst) AS a,
+              |  greatest(src,dst) AS b FROM e),
+              |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
+              |  UNION ALL SELECT b, a FROM und),
+              |v AS MATERIALIZED (SELECT DISTINCT src AS vid FROM sym),
+              |l0 AS MATERIALIZED (SELECT vid, vid AS label FROM v)""".stripMargin
+    (1 to rounds).foreach { k =>
+      sb ++= s""",
+        |l$k AS MATERIALIZED (
+        |  SELECT vid, label FROM (
+        |    SELECT s.dst AS vid, p.label, count(*) AS cnt,
+        |      row_number() OVER (PARTITION BY s.dst
+        |        ORDER BY count(*) DESC, p.label ASC) AS rn
+        |    FROM sym s JOIN l${k - 1} p ON p.vid = s.src
+        |    GROUP BY s.dst, p.label)
+        |  WHERE rn = 1)""".stripMargin
+    }
+    sb ++= s"\nSELECT vid, label FROM l$rounds"
     sb.toString
   }
 
@@ -143,7 +224,6 @@ object SparkEntry {
 
     "g_two_hop" -> ((s, d) => {
       val e = derivedGraph(s, d).edges.toDF()
-      val e2 = e.select(col("dst").as("mid"), col("dst" + "").as("x"))
       e.select(col("src").as("a"), col("dst").as("mid"))
         .join(derivedGraph(s, d).edges.toDF()
           .select(col("src").as("mid"), col("dst").as("c")), Seq("mid"))
@@ -153,11 +233,10 @@ object SparkEntry {
     }),
 
     "g_tri_count" -> ((s, d) =>
-      Triangles.triangles(derivedGraph(s, d))
-        .agg(count(lit(1)).as("tri_cnt"))),
+      triangleTable(s, d).agg(count(lit(1)).as("tri_cnt"))),
 
     "g_tri_pervertex" -> ((s, d) =>
-      Triangles.perVertex(derivedGraph(s, d))
+      Triangles.perVertex(derivedGraph(s, d), Some(triangleTable(s, d)))
         .where(col("triangles") > 0)
         .select(col("vid"), col("triangles"))),
 
@@ -187,18 +266,64 @@ object SparkEntry {
           round(coalesce(col("reserve"), lit(0.0)), 6).as("ppr"))
     }),
 
-    // randomized / non-SQL-expressible operators: rows-only driver check
+    // randomized operators: rows-only driver check on the raw scores, but
+    // the *_mass invariants below are DuckDB-oracled (Σ_t π̂(s,t) = 1)
     "g_fora" -> ((s, d) => {
       val g = derivedGraph(s, d)
       Fora.query(g, Map(0 -> 1L, 1 -> 2L, 2 -> 3L)).scores
     }),
+    "g_fora_mass" -> ((s, d) => {
+      val g = derivedGraph(s, d)
+      Fora.query(g, Map(0 -> 1L, 1 -> 2L, 2 -> 3L)).scores
+        .groupBy(col("qid"))
+        .agg(round(sum(col("score")), 6).as("mass"))
+    }),
     "g_fora_topk" -> ((s, d) =>
-      Fora.topk(derivedGraph(s, d), 1L, k = 20)),
+      // exactScores: refine until rsum < 1e-9 so score == π to 6 dp —
+      // DuckDB-oracled against the 100-iter CTE (desc limit 20)
+      Fora.topk(derivedGraph(s, d), 1L, k = 20, exactScores = true)
+        .select(col("vid"), round(col("score"), 6).as("score"))),
     "g_montecarlo" -> ((s, d) =>
       Fora.montecarlo(derivedGraph(s, d), Map(0 -> 1L),
         Fora.Params(eps = 0.5, delta = 0.01))),
+    "g_mc_mass" -> ((s, d) =>
+      Fora.montecarlo(derivedGraph(s, d), Map(0 -> 1L),
+        Fora.Params(eps = 0.5, delta = 0.01))
+        .groupBy(col("qid"))
+        .agg(round(sum(col("score")), 6).as("mass"))),
     "g_lpa" -> ((s, d) =>
       LabelPropagation.run(derivedGraph(s, d), rounds = 5)),
+
+    // -- backward push / BiPPR (SURVEY.md O15/O16) --
+
+    "b_push" -> ((s, d) => {
+      val g = derivedGraph(s, d)
+      val res = BackwardPush.run(g, Map(0 -> 1L), alpha = 0.2, rmax = 1e-9)
+      g.vertices.toDF("vid")
+        .join(res.state.select(col("vid"), col("reserve")), Seq("vid"), "left")
+        .select(col("vid"),
+          round(coalesce(col("reserve"), lit(0.0)), 6).as("bppr"))
+    }),
+
+    "b_bippr" -> ((s, d) => {
+      import s.implicits._
+      val g = derivedGraph(s, d)
+      val (sVid, tVid) = (1L, 5L)
+      // deterministic BiPPR: π̂(s,t) = π°_t(s) + Σ_v r_t(v)·π̂_fwd(s,v),
+      // backward at coarse rmax (real residuals exercise the combine),
+      // forward reserves at tol=1e-9 ⇒ |est−π| ≤ rsum_b·tol
+      val back = BackwardPush.run(g, Map(0 -> tVid), alpha = 0.2, rmax = 1e-5)
+      val fwd = ForwardPush.deterministicPpr(g, Map(0 -> sVid), alpha = 0.2,
+        tol = 1e-9)
+      val reserveAtS = back.state.where(col("vid") === sVid)
+        .agg(coalesce(sum(col("reserve")), lit(0.0))).as[Double].head()
+      val cross = back.state.select(col("vid"), col("residue"))
+        .join(fwd.state.select(col("vid"), col("reserve").as("fppr")), Seq("vid"))
+        .agg(coalesce(sum(col("residue") * col("fppr")), lit(0.0)))
+        .as[Double].head()
+      Seq((sVid, tVid, reserveAtS + cross)).toDF("s", "t", "raw")
+        .select(col("s"), col("t"), round(col("raw"), 6).as("bippr"))
+    }),
 
     // -- documents: text analysis / dedup --
 
@@ -221,11 +346,15 @@ object SparkEntry {
         .withColumn("avg_token_len",
           round(col("n_chars_text").cast("double") / col("n_tokens"), 6))),
 
+    // avg as exact-integer sum / count: a single fp division rounds
+    // identically in Spark and DuckDB, unlike avg() whose accumulation
+    // order differs at the 6th decimal (round-1 hash mismatch)
     "d_lang_agg" -> ((s, d) =>
       docs(s, d).groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"),
-          round(avg(length(col("text"))), 6).as("avg_len"))),
+          round(sum(length(col("text"))).cast("double") / count(lit(1)), 6)
+            .as("avg_len"))),
 
     // -- text analysis (graft.text.TextFunctions) --
 
@@ -274,8 +403,44 @@ object SparkEntry {
 
     "e_cos_neardup" -> ((s, d) =>
       graft.text.Ann.cosineNearDuplicates(
-        s.read.parquet(s"$d/embeddings.parquet"), threshold = 0.2))
+        s.read.parquet(s"$d/embeddings.parquet"), threshold = 0.2)),
+
+    // -- multimodal columns (graft.media.Multimodal) --
+
+    "mm_meta" -> ((s, d) =>
+      graft.media.Multimodal.metaStats(derivedMedia(s, d))),
+
+    "mm_frames" -> ((s, d) =>
+      graft.media.Multimodal.sampleFrames(derivedMedia(s, d), stride = 7)
+        .select(col("media_id"), explode(col("frame_ids")).as("fi"))
+        .select(col("media_id"), col("fi").cast("long").as("frame_id")))
   )
+
+  /** Deterministic media table derived from documents in pure arithmetic —
+    * identical derivation in the DuckDB oracle, so the multimodal metadata
+    * operators are driver-checkable without real codecs. */
+  def derivedMedia(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"),
+      (lit(16) * (col("doc_id") % 64 + 1)).cast("int").as("width"),
+      (lit(16) * (col("doc_id") % 48 + 1)).cast("int").as("height"),
+      lit(16000).as("sample_rate"),
+      (col("doc_id") % 300 + 1).cast("int").as("n_frames"))
+
+  /** SQL text of the derived media table (DuckDB dialect). */
+  val mediaSql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+      |       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  encode(text) AS payload,
+      |  CAST(16 * (doc_id % 64 + 1) AS INTEGER) AS width,
+      |  CAST(16 * (doc_id % 48 + 1) AS INTEGER) AS height,
+      |  CAST(16000 AS INTEGER) AS sample_rate,
+      |  CAST(doc_id % 300 + 1 AS INTEGER) AS n_frames
+      |FROM documents""".stripMargin
 
   /** DuckDB-runnable oracle SQL; column names match the Spark results. */
   def oracleSql: Map[String, String] = Map(
@@ -348,6 +513,38 @@ object SparkEntry {
 
     "g_pagerank" -> pagerankOracleSql(damping = 0.8, iters = 100),
     "g_ppr" -> pprOracleSql(source = 1L, alpha = 0.2, iters = 100),
+    "g_fora_topk" -> topkOracleSql(source = 1L, alpha = 0.2, iters = 100,
+      k = 20),
+    "g_lpa" -> lpaOracleSql(rounds = 5),
+
+    // mass-conservation invariants: FORA deposits exactly the pushed-out
+    // residual mass, so Σ_t π̂(s,t) = 1 per query to fp accumulation noise
+    "g_fora_mass" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS INTEGER), CAST(1.0 AS DOUBLE)),
+        |  (CAST(1 AS INTEGER), CAST(1.0 AS DOUBLE)),
+        |  (CAST(2 AS INTEGER), CAST(1.0 AS DOUBLE))) t(qid, mass)""".stripMargin,
+    "g_mc_mass" ->
+      """SELECT CAST(0 AS INTEGER) AS qid, CAST(1.0 AS DOUBLE) AS mass""",
+
+    "b_push" -> backwardOracleSql(target = 1L, alpha = 0.2, iters = 100),
+    "b_bippr" -> bipprOracleSql(source = 1L, target = 5L, alpha = 0.2,
+      iters = 100),
+
+    "mm_meta" ->
+      s"""WITH media AS ($mediaSql)
+         |SELECT kind, count(*) AS n_items,
+         |  CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+         |  round(CAST(sum(octet_length(payload)) AS DOUBLE) / count(*), 6)
+         |    AS avg_bytes,
+         |  max(width) AS max_width, max(n_frames) AS max_frames
+         |FROM media GROUP BY kind""".stripMargin,
+
+    "mm_frames" ->
+      s"""WITH media AS ($mediaSql)
+         |SELECT media_id, CAST(unnest(range(0, CAST(n_frames AS BIGINT), 7))
+         |  AS BIGINT) AS frame_id
+         |FROM media WHERE kind = 'video'""".stripMargin,
 
     "d_token_count" ->
       """SELECT doc_id,
@@ -370,7 +567,7 @@ object SparkEntry {
 
     "d_lang_agg" ->
       """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
-        |  round(avg(length(text)), 6) AS avg_len
+        |  round(CAST(sum(length(text)) AS DOUBLE) / count(*), 6) AS avg_len
         |FROM documents GROUP BY lang""".stripMargin,
 
     "d_lang_id" -> graft.text.TextFunctions.SqlText.langIdSql,

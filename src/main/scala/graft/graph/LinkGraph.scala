@@ -92,6 +92,14 @@ final class LinkGraph private (
   lazy val numVertices: Long = vertices.count()
   lazy val numEdges: Long = edges.count()
 
+  /** (min, max) vertex id — gates the packed-key fast paths, which encode
+    * qid<<40|vid and therefore require 0 ≤ vid < 2^40. */
+  lazy val vidBounds: (Long, Long) = {
+    val r = vertices.toDF("vid")
+      .agg(min($"vid"), max($"vid")).as[(Long, Long)].head()
+    r
+  }
+
   /** Whole-graph CSR broadcast for the single-box fast path (ForwardPush/
     * walks): legitimate whenever the adjacency fits in executor memory
     * (~16 B/edge); operators fall back to the per-partition CSR-join path

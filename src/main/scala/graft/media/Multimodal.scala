@@ -96,7 +96,10 @@ object Multimodal {
     media.groupBy(col("kind")).agg(
       count(lit(1)).as("n_items"),
       sum(length(col("payload"))).as("total_bytes"),
-      round(avg(length(col("payload"))), 6).as("avg_bytes"),
+      // exact integer sum / single division: rounds identically in any
+      // engine, unlike avg() whose fp accumulation order varies
+      round(sum(length(col("payload"))).cast("double") / count(lit(1)), 6)
+        .as("avg_bytes"),
       max(col("width")).as("max_width"),
       max(col("n_frames")).as("max_frames"))
 }

@@ -41,18 +41,22 @@ object ConnectedComponents {
     var rounds = 0
     var converged = edges.isEmpty
     while (!converged && rounds < maxRounds) {
+      // hub-safe formulation: the star mins come from groupBy().agg(min)
+      // + an equi-join back to the edges — a web-scale hub's neighbor set
+      // is never materialized as one array row (round-1 collect_set would
+      // OOM on a power-law hub; min() partial-aggregates map-side)
       val sym = edges.union(edges.select($"dst".as("src"), $"src".as("dst")))
-      val large = sym
-        .groupBy($"src".as("u")).agg(collect_set($"dst").as("nbrs"))
-        .select($"u", $"nbrs", least(array_min($"nbrs"), $"u").as("m"))
-        .select(explode(filter($"nbrs", v => v > $"u")).as("src"), $"m".as("dst"))
+      val largeMins = sym.groupBy($"src").agg(min($"dst").as("mn"))
+        .select($"src", least($"mn", $"src").as("m"))
+      val large = sym.join(largeMins, Seq("src"))
+        .where($"dst" > $"src")
+        .select($"dst".as("src"), $"m".as("dst"))
         .distinct()
 
-      val small = large
-        .groupBy($"src").agg(collect_set($"dst").as("nbrs"))
-        .select($"src", $"nbrs", array_min($"nbrs").as("m"))
-        .select(explode(array_union($"nbrs", array($"src"))).as("src"),
-          $"m".as("dst"))
+      val smallMins = large.groupBy($"src").agg(min($"dst").as("m"))
+      val small = large.join(smallMins, Seq("src"))
+        .select($"dst".as("src"), $"m".as("dst"))
+        .unionByName(smallMins.select($"src", $"m".as("dst")))
         .where($"src" =!= $"dst")
         .distinct()
         .localCheckpoint(true)

@@ -81,9 +81,31 @@ object Fora {
     }
 
     val tWalk = (System.nanoTime() - t1) / 1e9
-    val scores = push.state.select($"qid", $"vid", $"reserve".as("mass"))
-      .unionByName(endpoints.select($"qid", $"vid", $"mass"))
+    // walk endpoints concentrate on high-PPR hubs (hot keys); salt the
+    // endpoint aggregation over the walk slot before the final merge (N8)
+    val walkMass = graft.util.Salting.saltedSum(
+      endpoints.select($"qid", $"vid", $"mass", $"slot"),
+      keys = Seq("qid", "vid"), valueCol = "mass",
+      saltFrom = $"slot", salts = 64)
+    var scores = push.state.select($"qid", $"vid", $"reserve".as("mass"))
+      .unionByName(walkMass.select($"qid", $"vid", $"mass"))
       .groupBy($"qid", $"vid").agg(sum($"mass").as("score"))
+
+    // per-partition WALK metrics manifest (north rule: checkpoints carry
+    // push AND walk metrics; push supersteps only record pushes)
+    ckpt.foreach { store =>
+      val pm = endpoints
+        .groupBy(pmod(xxhash64($"vid"), lit(graph.numParts)).cast("int")
+          .as("part"))
+        .agg(count(lit(1)).as("walks"))
+        .collect()
+        .map(r => graft.graph.PartMetrics(r.getInt(0), 0L, 0L,
+          r.getLong(1), 0.0)).toSeq.sortBy(_.part)
+      scores = store.commit(push.supersteps, scores,
+        Map("omega" -> omega, "rsumAfterPush" -> push.rsum,
+          "walks" -> nWalks.toDouble),
+        pm, Map("phase" -> "walk"))
+    }
     QueryResult(scores, push.rsum, rmax, omega, push.pushes, nWalks, steps,
       push.supersteps, tPush, tWalk)
   }
@@ -110,30 +132,52 @@ object Fora {
   /** Deterministic exact top-k by iterative push refinement (SURVEY.md
     * O12 re-expressed without RNG): reserves are monotone lower bounds
     * and π ≤ π° + rsum, so once the kth lower bound separates from the
-    * (k+1)th upper bound the prefix is exact. Halve rmax until separated
-    * (or rsum exhausts the floor).
+    * (k+1)th upper bound the prefix is exact.
+    *
+    * WARM-STARTED: refinement rounds continue pushing from the previous
+    * round's (reserve, residue) state at a finer rmax — push is
+    * incremental by construction, so total work ≈ one push at the finest
+    * level reached, not the round-1 cold-restart sum (242 s → seconds at
+    * sf0.1). Starts coarse (rmax = 1/m) and descends ×16 per round.
+    *
+    * @param exactScores when true, refine until rsum < floor regardless
+    *        of separation, so reported scores equal π to within `floor`
+    *        (6-dp stable — the DuckDB-oracle mode). When false, exit as
+    *        soon as the top-k SET is provably exact (separation bound).
     *
     * Tie-break: (score desc, vid asc), deterministic. */
   def topk(graph: LinkGraph, source: Long, k: Int, alpha: Double = 0.2,
-           floor: Double = 1e-9, maxRounds: Int = 30): DataFrame = {
+           floor: Double = 1e-9, maxRounds: Int = 40,
+           exactScores: Boolean = false): DataFrame = {
     val spark = graph.spark
     import spark.implicits._
-    val m = graph.numEdges
-    var rmax = 1.0 / (8.0 * math.max(k, 1) * m)
+    require(source >= 0 && source < (1L << 40),
+      s"topk packed keys need vid < 2^40, got $source")
+    var rmax = 1.0 / math.max(graph.numEdges, 1L).toDouble
     var round = 0
+    var state: DataFrame = Seq(ForwardPush.KRow(source, 0.0, 1.0)).toDF()
     var result: Option[DataFrame] = None
     while (result.isEmpty && round < maxRounds) {
-      val push = ForwardPush.run(graph, Map(0 -> source), alpha, rmax)
-      val top = push.state.orderBy(desc("reserve"), asc("vid"))
-        .limit(k + 1).collect()
-      val kth = if (top.length >= k) top(k - 1).getAs[Double]("reserve") else 0.0
-      val next = if (top.length > k) top(k).getAs[Double]("reserve") else 0.0
-      if (push.rsum < floor || kth > next + push.rsum) {
-        result = Some(push.state
-          .select($"vid", $"reserve".as("score"))
+      val fr = ForwardPush.runFastK(graph, state, alpha, rmax)
+      state = fr.kstate
+      // qid=0 ⇒ key == vid, so (reserve desc, key asc) is the pinned order
+      val top = state.orderBy(desc("reserve"), asc("key"))
+        .limit(k + 1).select($"key", $"reserve").as[(Long, Double)].collect()
+      val kth = if (top.length >= k) top(k - 1)._2 else 0.0
+      val next = if (top.length > k) top(k)._2 else 0.0
+      val separated = kth > next + fr.rsum
+      if (fr.rsum < floor || (separated && !exactScores)) {
+        // pad with zero-score vertices: when fewer than k vertices are
+        // reachable, top-k still returns k rows (ties at 0 break by vid)
+        val touched = state
+          .select(($"key".bitwiseAND(lit(ForwardPush.VidMask))).as("vid"),
+            $"reserve".as("score"))
+        result = Some(graph.vertices.toDF("vid")
+          .join(touched, Seq("vid"), "left")
+          .select($"vid", coalesce($"score", lit(0.0)).as("score"))
           .orderBy(desc("score"), asc("vid")).limit(k))
       }
-      rmax /= 4.0
+      rmax /= 16.0
       round += 1
     }
     result.getOrElse(throw new IllegalStateException("topk did not separate"))

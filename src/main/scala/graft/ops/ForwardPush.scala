@@ -83,10 +83,21 @@ object ForwardPush {
     * @param resume   when true and `ckpt` has committed supersteps, continue
     *                 from the latest manifest instead of the seeds
     */
+  /** The packed-key fast path is sound only when every key fits
+    * qid<<40|vid: vids in [0, 2^40), qids in [0, 2^23). LinkGraph accepts
+    * arbitrary longs (the 10^12-key plan is xxhash64-as-vid), so guard
+    * here and fall back to the join path instead of corrupting keys. */
+  private def packableKeys(graph: LinkGraph, sources: Map[Int, Long]): Boolean = {
+    val (lo, hi) = graph.vidBounds
+    lo >= 0 && hi < (1L << 40) &&
+      sources.keys.forall(q => q >= 0 && q < (1 << 23))
+  }
+
   def run(graph: LinkGraph, sources: Map[Int, Long], alpha: Double,
           rmax: Double, ckpt: Option[CheckpointStore] = None,
           resume: Boolean = false, maxSupersteps: Int = 10000): Result = {
-    if (ckpt.isEmpty && graph.numEdges <= fastPathMaxEdges)
+    if (ckpt.isEmpty && graph.numEdges <= fastPathMaxEdges &&
+        packableKeys(graph, sources))
       runFast(graph, sources, alpha, rmax, maxSupersteps)
     else runJoin(graph, sources, alpha, rmax, ckpt, resume, maxSupersteps)
   }
@@ -104,13 +115,41 @@ object ForwardPush {
               chainLen: Int = 8): Result = {
     val spark = graph.spark
     import spark.implicits._
+    val init: DataFrame = sources.toSeq.sortBy(_._1)
+      .map { case (q, v) => KRow((q.toLong << 40) | v, 0.0, 1.0) }
+      .toDF()
+    val fr = runFastK(graph, init, alpha, rmax, maxSupersteps, chainLen)
+    Result(unpackK(spark, fr.kstate), fr.rsum, fr.supersteps, fr.pushes)
+  }
+
+  /** Packed fast-path state plus run stats; `kstate` feeds warm-started
+    * continuation runs (top-k refinement re-pushes from here at a finer
+    * rmax instead of restarting from the seeds — push is incremental by
+    * construction: any (reserve, residue) state satisfying the invariant
+    * is a valid starting point). */
+  case class FastResult(kstate: DataFrame, rsum: Double, supersteps: Int,
+                        pushes: Long)
+
+  def unpackK(spark: org.apache.spark.sql.SparkSession, kstate: DataFrame)
+      : DataFrame = {
+    import spark.implicits._
+    kstate.select(
+      shiftrightunsigned($"key", 40).cast("int").as("qid"),
+      ($"key".bitwiseAND(lit(VidMask))).as("vid"),
+      $"reserve", $"residue")
+  }
+
+  /** Fast-path core over packed KRow state (see runFast docs). */
+  def runFastK(graph: LinkGraph, init: DataFrame, alpha: Double,
+               rmax: Double, maxSupersteps: Int = 10000,
+               chainLen: Int = 8): FastResult = {
+    val spark = graph.spark
+    import spark.implicits._
     val p = graph.numParts
     val sc = spark.sparkContext
     val csrB = graph.flatCsr
 
-    var state: DataFrame = sources.toSeq.sortBy(_._1)
-      .map { case (q, v) => KRow((q.toLong << 40) | v, 0.0, 1.0) }
-      .toDF()
+    var state: DataFrame = init
     var step = 0
     var converged = false
     var totalPushes = 0L
@@ -135,13 +174,9 @@ object ForwardPush {
       step += rounds
     }
 
-    val finalState = state.select(
-      shiftrightunsigned($"key", 40).cast("int").as("qid"),
-      ($"key".bitwiseAND(lit(VidMask))).as("vid"),
-      $"reserve", $"residue")
-    val rsum = finalState.agg(coalesce(sum($"residue"), lit(0.0)))
+    val rsum = state.agg(coalesce(sum($"residue"), lit(0.0)))
       .as[Double].head()
-    Result(finalState, rsum, step, totalPushes)
+    FastResult(state, rsum, step, totalPushes)
   }
 
   /** Primitive-array cascade for one hash partition (fast path). */
@@ -290,17 +325,18 @@ object ForwardPush {
           remoteAcc.add(_), metricsAcc.add(_))
       }.toDF()
 
+      // eager checkpoint FIRST: it runs the superstep job, so the
+      // accumulators below are final before the manifest reads them
+      // (round-1 bug: commit args evaluated pre-job → partitions:[] and
+      // totalPushes one superstep behind in every manifest)
+      val eager = out.localCheckpoint(true)
       val committed = ckpt match {
         case Some(store) =>
-          val c = store.commit(step, out,
+          store.commit(step, eager,
             Map("totalPushes" -> (totalPushes + pushAcc.value).toDouble),
             metricsList(metricsAcc), Map("alpha" -> alpha.toString,
               "rmax" -> rmax.toString, "numParts" -> p.toString))
-          c
-        case None =>
-          // localCheckpoint truncates the logical plan — without this the
-          // nested per-superstep plans grow superlinearly (SURVEY.md §4.2)
-          out.localCheckpoint(true)
+        case None => eager
       }
       state = committed
       totalPushes += pushAcc.value

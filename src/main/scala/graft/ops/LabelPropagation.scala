@@ -26,18 +26,22 @@ object LabelPropagation {
     val spark = graph.spark
     import spark.implicits._
 
+    // labels ⋈ edges directly: the round-1 build-adjacency-then-explode
+    // round-trip added a shuffle and materialized per-vertex arrays (hub
+    // hazard); a persisted src-partitioned edge table joins in place
     val und = graph.undirectedEdges
     val sym = und.toDF().union(und.select($"dst".as("src"), $"src".as("dst")))
-    val symAdj = graft.graph.LinkGraph.adjacency(
-      sym.as[graft.graph.Edge], graph.numParts)
+      .repartition(graph.numParts, $"src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sym.count()
 
     var labels: DataFrame = graph.vertices.toDF("vid")
       .withColumn("label", $"vid")
     var r = 0
     while (r < rounds) {
       val nbrLabels = labels
-        .join(symAdj, labels("vid") === symAdj("src"))
-        .select(explode($"dsts").as("vid"), $"label")
+        .join(sym, labels("vid") === sym("src"))
+        .select(sym("dst").as("vid"), $"label")
       val counts = nbrLabels.groupBy($"vid", $"label")
         .agg(count(lit(1)).as("cnt"))
       val picked = counts.groupBy($"vid")
@@ -50,7 +54,7 @@ object LabelPropagation {
         .localCheckpoint(true)
       r += 1
     }
-    symAdj.unpersist()
+    sym.unpersist()
     labels
   }
 }

@@ -48,16 +48,24 @@ object Triangles {
       .where(struct($"bdeg", $"b") < struct($"cdeg", $"c"))
       .select($"a", $"b", $"c")
     val closing = oriented.select($"b".as("cb"), $"a".as("ca"))
-    wedges.join(closing,
+    // materialize before returning so `oriented` can be unpersisted here
+    // (round-1 leak: persist with no unpersist accumulated across queries)
+    val tris = wedges.join(closing,
         wedges("b") === closing("ca") && wedges("c") === closing("cb"))
       .select($"a", $"b", $"c")
+      .localCheckpoint(true)
+    oriented.unpersist()
+    tris
   }
 
-  /** (vid, triangles) for every vertex (0 for triangle-free vertices). */
-  def perVertex(graph: LinkGraph): DataFrame = {
+  /** (vid, triangles) for every vertex (0 for triangle-free vertices).
+    * Accepts a precomputed triangle table so callers running both the
+    * global count and the per-vertex histogram scan the wedges once. */
+  def perVertex(graph: LinkGraph, precomputed: Option[DataFrame] = None)
+      : DataFrame = {
     val spark = graph.spark
     import spark.implicits._
-    val tris = triangles(graph)
+    val tris = precomputed.getOrElse(triangles(graph))
     val corners = tris.select(explode(array($"a", $"b", $"c")).as("vid"))
       .groupBy($"vid").agg(org.apache.spark.sql.functions.count(lit(1)).as("triangles"))
     graph.vertices.toDF("vid")

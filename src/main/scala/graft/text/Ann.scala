@@ -10,13 +10,20 @@ import org.apache.spark.sql.expressions.Window
   *   set against the corpus, score with codegen'd array expressions
   *   (`zip_with` + `aggregate`), per-query top-k via window. One corpus
   *   scan regardless of query count: the baseline and the recall oracle.
-  * - `lshTopK`: random-hyperplane LSH — deterministic pseudo-random
-  *   hyperplanes from xxhash64, bucket by signature prefix, score only
-  *   within the probe buckets. The 100 TB path: candidate set per query
-  *   is corpus/2^bits on average; multi-probe widens recall.
+  * - `lshTopK`: random-hyperplane LSH with `numTables` independent hash
+  *   tables (OR-construction): a candidate is scored if it shares the
+  *   full signature with the query in ANY table. Single-table recall at
+  *   cos ≈ 0.95 is only (1−θ/π)^bits ≈ 0.43 for 8 bits; eight tables
+  *   lift it to 1−(1−0.43)^8 ≈ 0.99 (AnnSpec pins the measured floor
+  *   against bruteForceTopK). The 100 TB path: candidates per query are
+  *   ~T·corpus/2^bits, never the full corpus.
+  * - `cosineNearDuplicates`: same OR-construction over in-bucket pairs.
   * - `ivfTopK`-style coarse quantization is subsumed by lshTopK here
   *   (hash buckets instead of trained centroids — no training data
   *   leaves the sandbox).
+  *
+  * All hyperplanes are counter-hash-derived (xxhash64 with literal
+  * seeds): deterministic at any parallelism, identical across runs.
   */
 object Ann {
 
@@ -62,18 +69,30 @@ object Ann {
     bits.reduce(_.bitwiseOR(_))
   }
 
-  /** LSH-bucketed approximate top-k: score only candidates sharing the
-    * signature bucket with the query (single-probe; recall measured in
-    * tests against bruteForceTopK). */
+  /** Per-table seeds, spread so tables are independent. */
+  private def tableSeed(seed: Long, table: Int): Long =
+    seed + 1000003L * (table + 1)
+
+  /** LSH-bucketed approximate top-k: score only candidates sharing a
+    * signature bucket with the query in at least one of `numTables`
+    * tables. Recall vs bruteForceTopK is pinned by AnnSpec. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              numBits: Int = 8, seed: Long = 42L,
+              numBits: Int = 8, numTables: Int = 8, seed: Long = 42L,
               idCol: String = "vec_id", vecCol: String = "embedding",
               qidCol: String = "qid"): DataFrame = {
-    val c = corpus.select(col(idCol), col(vecCol),
-      sigBits(col(vecCol).cast("array<double>"), numBits, seed).as("bucket"))
-    val q = queries.select(col(qidCol), col(vecCol).as("qvec"),
-      sigBits(col(vecCol).cast("array<double>"), numBits, seed).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    val qv = queries.select(col(qidCol), col(vecCol).as("qvec"))
+    // candidate (qid, id) pairs from the OR of all tables
+    val cand = (0 until numTables).map { t =>
+      val s = tableSeed(seed, t)
+      val c = corpus.select(col(idCol),
+        sigBits(col(vecCol).cast("array<double>"), numBits, s).as("bucket"))
+      val q = qv.select(col(qidCol),
+        sigBits(col("qvec").cast("array<double>"), numBits, s).as("bucket"))
+      c.join(broadcast(q), Seq("bucket")).select(col(qidCol), col(idCol))
+    }.reduce(_ unionByName _).distinct()
+    val scored = cand
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(qv), Seq(qidCol))
       .select(col(qidCol), col(idCol),
         cosine(col(vecCol).cast("array<double>"),
           col("qvec").cast("array<double>")).as("cos"))
@@ -84,19 +103,28 @@ object Ann {
       .select(col(qidCol), col("rank"), col(idCol), round(col("cos"), 6).as("cos"))
   }
 
-  /** Embedding-cosine near-duplicate pairs (dedup by embedding): LSH
-    * buckets → in-bucket pairs above a cosine threshold. */
+  /** Embedding-cosine near-duplicate pairs (dedup by embedding): OR of
+    * `numTables` LSH tables → in-bucket pairs → cosine threshold. */
   def cosineNearDuplicates(corpus: DataFrame, threshold: Double = 0.95,
-                           numBits: Int = 8, seed: Long = 42L,
+                           numBits: Int = 8, numTables: Int = 8,
+                           seed: Long = 42L,
                            idCol: String = "vec_id",
                            vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      sigBits(col(vecCol).cast("array<double>"), numBits, seed).as("bucket"))
-    c.as("x").join(c.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        cosine(col("x.v").cast("array<double>"),
-          col("y.v").cast("array<double>")).as("cos"))
+    val pairs = (0 until numTables).map { t =>
+      val s = tableSeed(seed, t)
+      val c = corpus.select(col(idCol).as("id"),
+        sigBits(col(vecCol).cast("array<double>"), numBits, s).as("bucket"))
+      c.as("x").join(c.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("a"), col("y.id").as("b"))
+    }.reduce(_ unionByName _).distinct()
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    pairs
+      .join(vecs.select(col("id").as("a"), col("v").as("va")), Seq("a"))
+      .join(vecs.select(col("id").as("b"), col("v").as("vb")), Seq("b"))
+      .select(col("a"), col("b"),
+        cosine(col("va").cast("array<double>"),
+          col("vb").cast("array<double>")).as("cos"))
       .where(col("cos") >= threshold)
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
   }

@@ -81,18 +81,19 @@ object Dedup {
           col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .select(col("x.id").as("cand_a"), col("y.id").as("cand_b"))
       .dropDuplicates("cand_a", "cand_b")
-    val verified = jaccardPairs(
-      docs.join(broadcastableIds(cand), col(idCol) === col("cid"), "left_semi"),
-      threshold, idCol, textCol)
-    verified.join(cand,
-        verified("a") === cand("cand_a") && verified("b") === cand("cand_b"),
-        "left_semi")
+    // verify per candidate PAIR (pair ⟕ token sets → array intersect):
+    // cost is O(|pairs| · tokens), never a token self-join — one shared
+    // boilerplate token across candidates cannot go quadratic
+    val docToks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    cand
+      .join(docToks.select(col("id").as("cand_a"), col("toks").as("ta")), "cand_a")
+      .join(docToks.select(col("id").as("cand_b"), col("toks").as("tb")), "cand_b")
+      .select(col("cand_a").as("a"), col("cand_b").as("b"),
+        (size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb")))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
-
-  private def broadcastableIds(cand: DataFrame): DataFrame =
-    cand.select(col("cand_a").as("cid"))
-      .union(cand.select(col("cand_b").as("cid"))).distinct()
 
   /** 64-bit SimHash: weighted sign-sum of token-hash bits. */
   def simhash(textCol: Column): Column = {
@@ -109,15 +110,26 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist. Buckets by
-    * 16-bit chunks (pigeonhole: dist ≤ 3 ⇒ some chunk equal). */
+    * maxDist+1 bit-chunks: pigeonhole guarantees every pair at distance
+    * ≤ maxDist shares at least one whole chunk, so RECALL IS 100% — the
+    * candidate join touches only same-chunk-value buckets, never all
+    * pairs (SimhashSpec pins the recall contract vs brute force). */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
+    val numChunks = maxDist + 1
+    require(numChunks >= 1 && numChunks <= 64,
+      s"maxDist must be in [0, 63], got $maxDist")
     val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    // chunk c covers bits [64c/k, 64(c+1)/k) — widths differ by ≤1 bit
+    val chunkCols = (0 until numChunks).map { c =>
+      val lo = (64 * c) / numChunks
+      val w = (64 * (c + 1)) / numChunks - lo
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
+      shiftrightunsigned(col("sh"), lo).bitwiseAND(mask)
+    }
     val chunked = sigs.select(col("id"), col("sh"),
-      posexplode(array((0 until 4).map(c =>
-        shiftrightunsigned(col("sh"), c * 16).bitwiseAND(0xFFFFL)): _*))
-        .as(Seq("chunk", "ckey")))
+      posexplode(array(chunkCols: _*)).as(Seq("chunk", "ckey")))
     val cand = chunked.as("x").join(chunked.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
           col("x.id") < col("y.id"))

@@ -1,0 +1,80 @@
+package graft
+
+import graft.ops.{ConnectedComponents, LabelPropagation}
+
+/** Hub-skew regression spec (VERDICT r1 item 7): the web graph is
+  * power-law, so CC/LPA must stay correct — and array-free — when one
+  * vertex owns a large fraction of all edges. */
+class HubGraphSpec extends SparkSpec {
+  import TestGraphs._
+
+  /** hub 0 ↔ 1..1500 (≈97% of edges on one vertex), a 40-chain island,
+    * and sparse random edges among the leaves. */
+  lazy val hubEdges: Seq[(Int, Int)] = {
+    val star = (1 to 1500).flatMap(i => Seq((0, i), (i, 0)))
+    val chain = (2001 until 2040).map(i => (i, i + 1))
+    val rnd = new scala.util.Random(9)
+    val extra = Seq.fill(200)((1 + rnd.nextInt(1500), 1 + rnd.nextInt(1500)))
+      .filter(e => e._1 != e._2)
+    (star ++ chain ++ extra).distinct
+  }
+
+  private def unionFindOracle(edges: Seq[(Int, Int)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Int, Int]
+    def find(x: Int): Int = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(v => v.toLong -> find(v).toLong).toMap
+  }
+
+  test("CC is exact on a 97%-hub graph (no per-vertex arrays)") {
+    val g = graph(hubEdges, parts = 8)
+    try {
+      val res = ConnectedComponents.run(g)
+      val got = res.components.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = unionFindOracle(hubEdges)
+      assert(got == want)
+    } finally g.unpersistAll()
+  }
+
+  test("salted two-phase sum equals plain aggregation on a hot key") {
+    val sp = spark
+    import sp.implicits._
+    // 50k rows, 90% on one hot key — the hub shape
+    val rows = (0L until 50000L).map { i =>
+      val key = if (i % 10 != 0) 7L else i % 100
+      (key, i, 1.0 / (1 + (i % 13)))
+    }
+    val df = rows.toDF("vid", "slot", "mass")
+    val plain = df.groupBy($"vid").agg(org.apache.spark.sql.functions
+      .sum($"mass").as("mass")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val salted = graft.util.Salting.saltedSum(df, Seq("vid"), "mass",
+      saltFrom = $"slot", salts = 32).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(plain.keySet == salted.keySet)
+    plain.foreach { case (k, v) =>
+      assert(math.abs(v - salted(k)) < 1e-9 * math.max(1.0, math.abs(v)),
+        s"key=$k")
+    }
+  }
+
+  test("LPA terminates with plurality labels on the hub graph") {
+    val g = graph(hubEdges, parts = 8)
+    try {
+      val labels = LabelPropagation.run(g, rounds = 3).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // every chain-island vertex keeps a chain-island label; star
+      // vertices converge within the star's label set
+      (2001 to 2040).foreach(v =>
+        assert(labels(v.toLong) >= 2001L, s"v=$v label=${labels(v.toLong)}"))
+      assert(labels.size == g.numVertices)
+    } finally g.unpersistAll()
+  }
+}

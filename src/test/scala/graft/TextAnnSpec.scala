@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{Ann, Dedup}
+import graft.util.Hashing
+
+/** Recall contracts for the dedup / similarity operators (VERDICT r1
+  * items 5–6): SimHash candidate generation must be pigeonhole-sound,
+  * and multi-table LSH must hit a measured recall floor vs brute force. */
+class TextAnnSpec extends SparkSpec {
+
+  /** Seeded corpus: 12 template families × small word substitutions —
+    * plenty of near-dup pairs at assorted Hamming/Jaccard distances. */
+  private def corpus: Seq[(Long, String)] = {
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    (0L until 60L).map { i =>
+      val fam = (i % 12).toInt
+      val toks = (0 until 30).map { j =>
+        // mutate ~2 positions per doc within a family
+        val mutate = Hashing.uniformInt(15, 5L, i, j.toLong) == 0
+        if (mutate) words(Hashing.uniformInt(12, 6L, i, j.toLong))
+        else words((fam + j) % 12)
+      }
+      (i, toks.mkString(" "))
+    }
+  }
+
+  test("simhashPairs returns EXACTLY all pairs at Hamming dist <= maxDist") {
+    val sp = spark
+    import sp.implicits._
+    val docs = corpus.toDF("doc_id", "text")
+    val maxDist = 8
+    val got = Dedup.simhashPairs(docs, maxDist).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // brute force: simhash every doc, all-pairs popcount
+    val sigs = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= maxDist
+    } yield (a, b)).toSet
+
+    assert(want.nonEmpty, "fixture must contain close pairs")
+    assert(got == want,
+      s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("minhash nearDuplicates finds high-jaccard template pairs") {
+    val sp = spark
+    import sp.implicits._
+    val docs = corpus.toDF("doc_id", "text")
+    val got = Dedup.nearDuplicates(docs, threshold = 0.7)
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // verification is exact: every returned pair really is >= threshold
+    val textOf = corpus.toMap
+    rows.foreach { case (a, b, j) =>
+      def toks(s: String) = s.toLowerCase.split(" ").toSet
+      val (ta, tb) = (toks(textOf(a)), toks(textOf(b)))
+      val exact = ta.intersect(tb).size.toDouble / ta.union(tb).size
+      assert(math.abs(exact - j) < 1e-6, s"pair ($a,$b)")
+      assert(j >= 0.7)
+    }
+  }
+
+  /** Planted embeddings: 3 query centers, 12 close neighbors each
+    * (cos ≈ 0.99), 400 background vectors. */
+  private def plantedEmbeddings: (Seq[(Long, Array[Float])], Seq[(Long, Array[Float])]) = {
+    val dim = 16
+    def unit(seedA: Long, seedB: Long): Array[Double] = {
+      val v = Array.tabulate(dim)(d =>
+        Hashing.u01(seedA, seedB, d.toLong) * 2.0 - 1.0)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = (0 until 3).map(q => unit(100L, q.toLong))
+    val planted = for {
+      q <- 0 until 3; j <- 0 until 12
+    } yield {
+      val noise = unit(200L, (q * 100 + j).toLong)
+      val v = centers(q).zip(noise).map { case (c, e) => c + 0.08 * e }
+      ((q * 12 + j).toLong, v.map(_.toFloat))
+    }
+    val background = (0 until 400).map(i =>
+      ((100 + i).toLong, unit(300L, i.toLong).map(_.toFloat)))
+    val queries = centers.zipWithIndex.map { case (c, q) =>
+      (q.toLong, c.map(_.toFloat)) }
+    (planted ++ background, queries)
+  }
+
+  test("lshTopK recall@10 >= 0.9 vs bruteForceTopK on planted neighbors") {
+    val sp = spark
+    import sp.implicits._
+    val (corp, qs) = plantedEmbeddings
+    val corpusDf = corp.toDF("vec_id", "embedding")
+    val queryDf = qs.toDF("qid", "embedding")
+    def topIds(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topIds(Ann.bruteForceTopK(corpusDf, queryDf, k = 10))
+    val approx = topIds(Ann.lshTopK(corpusDf, queryDf, k = 10))
+    (0L until 3L).foreach { q =>
+      val recall = exact(q).intersect(approx.getOrElse(q, Set.empty)).size / 10.0
+      assert(recall >= 0.9, s"q=$q recall=$recall")
+    }
+  }
+
+  test("cosineNearDuplicates recall >= 0.9 vs brute force at 0.95") {
+    val sp = spark
+    import sp.implicits._
+    val (corp, _) = plantedEmbeddings
+    val corpusDf = corp.toDF("vec_id", "embedding")
+    val got = Ann.cosineNearDuplicates(corpusDf, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force pairs
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      d / (na * nb)
+    }
+    val vecs = corp.toMap
+    val want = (for {
+      (a, va) <- corp; (b, vb) <- corp if a < b
+      if cos(va, vb) >= 0.95
+    } yield (a, b)).toSet
+    assert(want.size >= 30, s"fixture too sparse: ${want.size}")
+    val recall = got.intersect(want).size.toDouble / want.size
+    assert(recall >= 0.9, s"recall=$recall want=${want.size} got=${got.size}")
+    // precision is exact by construction (threshold re-checked on pairs)
+    assert(got.subsetOf(want.union(want)), "threshold filter violated")
+  }
+}
+
+/** metaStats exactness vs a driver-side recomputation (the registered
+  * mm_meta query depends on these aggregates being value-exact). */
+class MultimodalStatsSpec extends SparkSpec {
+  import graft.media.Multimodal
+
+  test("metaStats matches driver-side recomputation") {
+    val media = Multimodal.synthetic(spark, 300L, seed = 11L)
+    val rows = media.collect()
+    val got = Multimodal.metaStats(media.toDF()).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.groupBy(_.kind).foreach { case (kind, items) =>
+      val (n, bytes) = got(kind)
+      assert(n == items.length, s"$kind n")
+      assert(bytes == items.map(_.payload.length.toLong).sum, s"$kind bytes")
+    }
+  }
+}
