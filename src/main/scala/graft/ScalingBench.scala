@@ -40,21 +40,31 @@ object ScalingBench {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    // --- ingest ---
+    // --- ingest (scale path: hash vids — no global-sort dictionary, no
+    // dict join; the round-1 sorted-dense-id path serialized ingest on a
+    // single window task) ---
     val ((graph, dict), tIngest) = timed {
       val pages = sources.SyntheticPages.generate(spark, nPages, seed = 42L,
         parts = math.max(cpus * 2, 16))
-      val (g, d) = LinkGraph.fromPages(spark, pages.toDF(), numParts = 32)
+      val (g, d) = LinkGraph.fromPagesHashVids(spark, pages.toDF(),
+        numParts = 32)
       g.csr.count() // include CSR build in ingest
       (g, d)
     }
     val n = graph.numVertices
     val m = graph.numEdges
 
+    // sources sampled from the ACTUAL vertex set (hash vids are sparse in
+    // [0, 2^40)); orderBy+limit plans as TakeOrdered — no global sort
+    val qVids = graph.vertices.toDF("vid")
+      .orderBy(xxhash64($"vid", lit(77L)), $"vid").limit(64)
+      .as[Long].collect()
+    val qSources = qVids.zipWithIndex.map { case (v, i) => i -> v }.toMap
+
     // JIT/caches warmup: small runs of both phases
     PageRank.run(graph, 0.85, tol = 0.0, maxIter = 2, checkEvery = 2)
-    Fora.query(graph, Map(0 -> 0L), Fora.Params(eps = 0.5, delta = 1e-2,
-      pfail = 1e-2, seed = 1L))
+    Fora.query(graph, Map(0 -> qVids.head), Fora.Params(eps = 0.5,
+      delta = 1e-2, pfail = 1e-2, seed = 1L))
 
     // --- pagerank, 20 fixed iterations (min of `repeats` runs: the box
     // has large environmental timing variance; min is the honest
@@ -68,9 +78,6 @@ object ScalingBench {
     val prSum = pr.ranks.agg(sum(round($"rank" * 1e6) / 1e6)).as[Double].head()
 
     // --- batched 64-source FORA SSPPR ---
-    val qSources = (0 until 64).map { q =>
-      q -> java.lang.Math.floorMod(util.Hashing.h64(42L, q.toLong, 77L), n)
-    }.toMap
     val foraRuns = (0 until repeats).map { _ =>
       timed { Fora.query(graph, qSources, Fora.Params(eps = 0.5, delta = 1e-3,
         pfail = 1e-3, seed = 42L)) }

@@ -174,6 +174,58 @@ object LinkGraph {
       .dropDuplicates("src_url", "dst_url").as[LinkRow]
   }
 
+  /** The 40-bit vid mask for hash-assigned vids (packed fast-path keys
+    * need vid < 2^40; collision audit gates correctness). */
+  final val HashVidMask: Long = (1L << 40) - 1
+
+  /** SCALE-PATH ingest (SURVEY.md §7.4.3): vids are xxhash64(salt, url)
+    * truncated to 40 bits — no global sort, no dictionary join; the edge
+    * table is a pure map over the link rows. A collision audit (two
+    * distinct urls sharing a vid) runs per build; on collision the WHOLE
+    * mapping retries with salt+1 (vid stays a pure function of
+    * (salt, url), so edges and dictionary always agree). At 10^6 urls
+    * one salt collides with p ≈ 0.37 (birthday, 2^40 bins), so a couple
+    * of retries are routine; 16 salts fail with p ≈ 1e-7. At 10^12 keys
+    * a production build widens the vid domain (and the packed fast path
+    * gives way to the CSR-join path, which takes any long).
+    *
+    * Returns the graph plus the (vid, url) dictionary for reporting. */
+  def fromPagesHashVids(spark: SparkSession, pages: DataFrame, numParts: Int,
+                        storageDir: String = tempDir(), maxSalts: Int = 16)
+      : (LinkGraph, Dataset[VertexUrl]) = {
+    import spark.implicits._
+    val links = extractLinkRows(spark, pages)
+    links.write.mode("overwrite").parquet(s"$storageDir/links")
+    val linksT = spark.read.parquet(s"$storageDir/links").as[LinkRow]
+    def hvid(c: org.apache.spark.sql.Column, salt: Int) =
+      xxhash64(lit(salt.toLong), c).bitwiseAND(lit(HashVidMask))
+
+    val urls = linksT.select($"src_url".as("url"))
+      .union(linksT.select($"dst_url".as("url"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    urls.count()
+    var salt = 0
+    var done = false
+    while (!done && salt < maxSalts) {
+      val collided = urls.select(hvid($"url", salt).as("vid"))
+        .groupBy($"vid").agg(count(lit(1)).as("c")).where($"c" > 1)
+        .limit(1).count()
+      if (collided == 0) done = true else salt += 1
+    }
+    require(done, s"hash-vid collision at every salt < $maxSalts — " +
+      "widen the vid domain or use LinkGraph.fromPages")
+
+    urls.select(hvid($"url", salt).as("vid"), $"url")
+      .write.mode("overwrite").parquet(s"$storageDir/dict")
+    urls.unpersist()
+    val dict = spark.read.parquet(s"$storageDir/dict").as[VertexUrl]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    dict.count()
+    val e = linksT.select(hvid($"src_url", salt).as("src"),
+      hvid($"dst_url", salt).as("dst"))
+    (fromEdges(spark, e, numParts, storageDir), dict)
+  }
+
   /** Dense vid assignment via global sort + row_number (fine at test
     * scale; the 10^12-key path is xxhash64-as-vid + collision audit,
     * SURVEY.md §7.4.3). Materialized to parquet like the other tables. */

@@ -29,9 +29,6 @@ object BackwardPush {
   case class BRow(qid: Int, vid: Long, reserve: Double, residue: Double,
                   delta: Boolean)
   case class BState(qid: Int, vid: Long, reserve: Double, residue: Double)
-  case class BCascadeIn(part: Int, states: Array[BState],
-                        srcIds: Array[Long], offsets: Array[Int],
-                        dsts: Array[Long], wts: Array[Double])
   case class BCsr(part: Int, srcIds: Array[Long], offsets: Array[Int],
                   dsts: Array[Long], wts: Array[Double])
 
@@ -96,17 +93,14 @@ object BackwardPush {
     while (!converged && step < maxSupersteps) {
       val pushAcc = sc.longAccumulator(s"bpushes_$step")
       val remoteAcc = sc.longAccumulator(s"bremote_$step")
-      val grouped = state
-        .withColumn("part", pmod(xxhash64($"vid"), lit(p)).cast("int"))
-        .repartition(p, col("part"))
-        .groupBy($"part")
-        .agg(collect_list(struct($"qid", $"vid", $"reserve", $"residue"))
-          .as("states"))
-      val joined = grouped.join(csr, Seq("part"), "left")
-        .select($"part", $"states", $"srcIds", $"offsets", $"dsts", $"wts")
-        .as[BCascadeIn]
-      val out = joined.flatMap(in =>
-        cascade(in, alpha, rmax, p, pushAcc.add(_), remoteAcc.add(_))).toDF()
+      // cogroup streams state rows per part — no collect_list giant row
+      // (same 2 GB-row fix as ForwardPush.runJoin)
+      val out = state.as[BState]
+        .groupByKey(r => Hashing.partOf(r.vid, p))
+        .cogroup(csr.as[BCsr].groupByKey(_.part)) { (part, sIt, cIt) =>
+          cascade(part, sIt, cIt.buffered.headOption, alpha, rmax, p,
+            pushAcc.add(_), remoteAcc.add(_))
+        }.toDF()
         .localCheckpoint(true)
       state = out
       totalPushes += pushAcc.value
@@ -119,15 +113,19 @@ object BackwardPush {
     Result(finalState, rsum, step, totalPushes)
   }
 
-  private def cascade(in: BCascadeIn, alpha: Double, rmax: Double, p: Int,
-                      onPush: Long => Unit, onRemote: Long => Unit)
+  private def cascade(part: Int, states: Iterator[BState],
+                      block: Option[BCsr], alpha: Double, rmax: Double,
+                      p: Int, onPush: Long => Unit, onRemote: Long => Unit)
       : Iterator[BRow] = {
-    val srcIds = if (in.srcIds == null) Array.empty[Long] else in.srcIds
-    val offsets = if (in.offsets == null) Array.empty[Int] else in.offsets
-    val dsts = if (in.dsts == null) Array.empty[Long] else in.dsts
-    val wts = if (in.wts == null) Array.empty[Double] else in.wts
+    val srcIds = block.map(_.srcIds).getOrElse(Array.empty[Long])
+    val offsets = block.map(_.offsets).getOrElse(Array.empty[Int])
+    val dsts = block.map(_.dsts).getOrElse(Array.empty[Long])
+    val wts = block.map(_.wts).getOrElse(Array.empty[Double])
 
-    val rows = in.states.sortBy(s => (s.qid, s.vid, s.reserve, s.residue))
+    val rows = states.toArray
+    if (rows.isEmpty) { onPush(0L); onRemote(0L); return Iterator.empty }
+    java.util.Arrays.sort(rows, Ordering.by((s: BState) =>
+      (s.qid, s.vid, s.reserve, s.residue)))
     val acc = mutable.LinkedHashMap.empty[(Int, Long), Array[Double]]
     rows.foreach { s =>
       val a = acc.getOrElseUpdate((s.qid, s.vid), Array(0.0, 0.0))
@@ -160,7 +158,7 @@ object BackwardPush {
             var i = offsets(idx)
             while (i < offsets(idx + 1)) {
               val u = dsts(i); val m = (1.0 - alpha) * r * wts(i)
-              if (Hashing.partOf(u, p) == in.part) {
+              if (Hashing.partOf(u, p) == part) {
                 val kk = (qid, u)
                 val aa = acc.getOrElseUpdate(kk, Array(0.0, 0.0))
                 aa(1) += m

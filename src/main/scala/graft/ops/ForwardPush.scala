@@ -52,9 +52,6 @@ object ForwardPush {
 
   // not `private`: Catalyst encoder codegen can't access private classes
   case class StateIn(qid: Int, vid: Long, reserve: Double, residue: Double)
-  case class CascadeIn(part: Int, states: Array[StateIn],
-                       srcIds: Array[Long], offsets: Array[Int],
-                       dsts: Array[Long])
 
   case class Result(state: DataFrame, // (qid, vid, reserve, residue)
                     rsum: Double, supersteps: Int, pushes: Long)
@@ -302,28 +299,23 @@ object ForwardPush {
       .getOrElse(0.0).toLong
     
 
-    val csrDF = graph.csr // persisted, hash-partitioned by part
+    val csrDS = graph.csr // persisted, hash-partitioned by part
 
     while (!converged && step < maxSupersteps) {
       val pushAcc = sc.longAccumulator(s"pushes_$step")
       val remoteAcc = sc.longAccumulator(s"remoteDeltas_$step")
       val metricsAcc = sc.collectionAccumulator[PartMetrics](s"metrics_$step")
 
-      val grouped = state
-        .withColumn("part", pmod(xxhash64($"vid"), lit(p)).cast("int"))
-        .repartition(p, col("part"))
-        .groupBy($"part")
-        .agg(collect_list(struct($"qid", $"vid", $"reserve", $"residue"))
-          .as("states"))
-
-      val joined = grouped.join(csrDF.toDF(), Seq("part"), "left")
-        .select($"part", $"states", $"srcIds", $"offsets", $"dsts")
-        .as[CascadeIn]
-
-      val out = joined.flatMap { in =>
-        cascade(in, alpha, rmax, p, pushAcc.add(_),
-          remoteAcc.add(_), metricsAcc.add(_))
-      }.toDF()
+      // COGROUP, not groupBy(part).agg(collect_list): round 1 packed a
+      // partition's whole state into ONE array row — a hub-heavy part
+      // hits the 2 GB row limit at scale. CoGroup streams both sides'
+      // rows per key; only the cascade's own working set is in memory.
+      val out = state.as[StateIn]
+        .groupByKey(r => Hashing.partOf(r.vid, p))
+        .cogroup(csrDS.groupByKey(_.part)) { (part, sIt, cIt) =>
+          cascade(part, sIt, cIt.buffered.headOption, alpha, rmax, p,
+            pushAcc.add(_), remoteAcc.add(_), metricsAcc.add(_))
+        }.toDF()
 
       // eager checkpoint FIRST: it runs the superstep job, so the
       // accumulators below are final before the manifest reads them
@@ -359,19 +351,26 @@ object ForwardPush {
   }
 
   /** Sequential, deterministic push cascade within one partition. */
-  private def cascade(in: CascadeIn, alpha: Double, rmax: Double, p: Int,
-                      onPush: Long => Unit,
+  private def cascade(part: Int, states: Iterator[StateIn],
+                      block: Option[CsrBlock], alpha: Double, rmax: Double,
+                      p: Int, onPush: Long => Unit,
                       onRemote: Long => Unit, onMetrics: PartMetrics => Unit)
       : Iterator[PushRow] = {
-    val srcIds = if (in.srcIds == null) Array.empty[Long] else in.srcIds
-    val offsets = if (in.offsets == null) Array.empty[Int] else in.offsets
-    val dsts = if (in.dsts == null) Array.empty[Long] else in.dsts
+    val srcIds = block.map(_.srcIds).getOrElse(Array.empty[Long])
+    val offsets = block.map(_.offsets).getOrElse(Array.empty[Int])
+    val dsts = block.map(_.dsts).getOrElse(Array.empty[Long])
 
     def degOf(idx: Int): Int = offsets(idx + 1) - offsets(idx)
     def threshold(deg: Int): Double = rmax * math.max(deg, 1)
 
     // deterministic merge of incoming rows
-    val rows = in.states.sortBy(s => (s.qid, s.vid, s.reserve, s.residue))
+    val rows = states.toArray
+    if (rows.isEmpty) { // CSR-only part with no state this superstep
+      onPush(0L); onRemote(0L)
+      return Iterator.empty
+    }
+    java.util.Arrays.sort(rows, Ordering.by((s: StateIn) =>
+      (s.qid, s.vid, s.reserve, s.residue)))
     val acc = mutable.LinkedHashMap.empty[(Int, Long), Array[Double]] // (reserve, residue)
     rows.foreach { s =>
       val a = acc.getOrElseUpdate((s.qid, s.vid), Array(0.0, 0.0))
@@ -407,7 +406,7 @@ object ForwardPush {
         a(1) = 0.0
         val spread = (1.0 - alpha) * r
         def deposit(qd: Int, dv: Long, m: Double): Unit = {
-          if (Hashing.partOf(dv, p) == in.part) {
+          if (Hashing.partOf(dv, p) == part) {
             val kk = (qd, dv)
             val aa = acc.getOrElseUpdate(kk, Array(0.0, 0.0))
             aa(1) += m
@@ -433,7 +432,7 @@ object ForwardPush {
     onRemote(remote.size.toLong)
     var rsumLocal = 0.0
     acc.valuesIterator.foreach(a => rsumLocal += a(1))
-    onMetrics(PartMetrics(in.part, acc.size.toLong, pushes, 0L, rsumLocal))
+    onMetrics(PartMetrics(part, acc.size.toLong, pushes, 0L, rsumLocal))
 
     val local = acc.iterator
       .filter { case (_, a) => a(0) != 0.0 || a(1) != 0.0 }

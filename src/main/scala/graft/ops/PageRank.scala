@@ -51,16 +51,21 @@ object PageRank {
     var delta = Double.MaxValue
 
     def step(r: DataFrame): DataFrame = {
+      // materialize contribs ONCE: the broadcast-subquery formulation
+      // (crossJoin(broadcast(csum))) re-executed the explode+shuffle
+      // subtree a second time for the scalar — measured as the round-1
+      // per-iteration cost that kept pagerank20 latency-bound
       val contribs = r.where($"outDeg" > 0)
         .join(adj, r("vid") === adj("src"))
         .select(explode($"dsts").as("vid"), ($"rank" / $"outDeg").as("c"))
         .groupBy($"vid").agg(sum($"c").as("contrib"))
-      val csum = contribs.agg(coalesce(sum($"contrib"), lit(0.0)).as("csum"))
+        .localCheckpoint(true)
+      val csum = contribs.agg(coalesce(sum($"contrib"), lit(0.0)))
+        .as[Double].head()
       base.join(contribs, Seq("vid"), "left")
-        .crossJoin(broadcast(csum))
         .select($"vid", $"outDeg",
           (lit((1.0 - damping) / n) +
-            lit(damping) * ((lit(1.0) - $"csum") / n +
+            lit(damping) * (lit((1.0 - csum) / n) +
               coalesce($"contrib", lit(0.0)))).as("rank"))
     }
 

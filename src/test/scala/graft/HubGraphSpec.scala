@@ -5,6 +5,33 @@ import graft.ops.{ConnectedComponents, LabelPropagation}
 /** Hub-skew regression spec (VERDICT r1 item 7): the web graph is
   * power-law, so CC/LPA must stay correct — and array-free — when one
   * vertex owns a large fraction of all edges. */
+/** The hash-vid scale ingest (LinkGraph.fromPagesHashVids) must produce
+  * the SAME graph as the sorted-dense-id test ingest, up to the vid
+  * relabeling — checked by mapping edges back to url pairs. */
+class HashVidIngestSpec extends SparkSpec {
+  test("hash-vid and sorted-vid ingest agree as url-pair edge sets") {
+    val sp = spark
+    import sp.implicits._
+    import graft.graph.LinkGraph
+    val pages = graft.sources.SyntheticPages.generate(sp, 800L, seed = 5L)
+    val (g1, d1) = LinkGraph.fromPages(sp, pages.toDF(), numParts = 4)
+    val (g2, d2) = LinkGraph.fromPagesHashVids(sp, pages.toDF(), numParts = 4)
+    try {
+      def urlEdges(g: LinkGraph, d: org.apache.spark.sql.Dataset[graft.graph.VertexUrl]) =
+        g.edges.toDF()
+          .join(d.toDF().select($"vid".as("src"), $"url".as("src_u")), "src")
+          .join(d.toDF().select($"vid".as("dst"), $"url".as("dst_u")), "dst")
+          .select($"src_u", $"dst_u").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(g1.numEdges == g2.numEdges)
+      assert(urlEdges(g1, d1) == urlEdges(g2, d2))
+      // hash vids respect the packed-key fast-path domain
+      val (lo, hi) = g2.vidBounds
+      assert(lo >= 0 && hi < (1L << 40))
+    } finally { g1.unpersistAll(); g2.unpersistAll() }
+  }
+}
+
 class HubGraphSpec extends SparkSpec {
   import TestGraphs._
 
