@@ -75,9 +75,222 @@ object BackwardPush {
     back
   }
 
-  /** Run backward push to threshold rmax from each target (qid → t). */
+  /** Flat weighted in-CSR for the broadcast fast path; dangling vertices
+    * carry their explicit (v ← v, w=1) self-loop entry. */
+  case class FlatBCsr(srcIds: Array[Long], offsets: Array[Int],
+                      dsts: Array[Long], wts: Array[Double]) {
+    def indexOf(vid: Long): Int = java.util.Arrays.binarySearch(srcIds, vid)
+    def degOf(idx: Int): Int = offsets(idx + 1) - offsets(idx)
+  }
+
+  private val flatCache =
+    scala.collection.concurrent.TrieMap.empty[String,
+      org.apache.spark.broadcast.Broadcast[FlatBCsr]]
+
+  /** Build (once per graph) the broadcast reverse CSR. Collects the
+    * adjacency to the driver — legitimate under the same memory budget
+    * as LinkGraph.flatCsr (~24 B/edge), gated by fastPathMaxEdges. */
+  def flatInCsr(graph: LinkGraph): org.apache.spark.broadcast.Broadcast[FlatBCsr] =
+    flatCache.getOrElseUpdate(graph.storageDir, {
+      val slabs = graph.adj.collect()
+      val verts = graph.vertices.collect()
+      val srcSet = new java.util.HashSet[java.lang.Long](slabs.length * 2)
+      slabs.foreach(s => srcSet.add(s.src))
+      val nDangling = verts.count(v => !srcSet.contains(v))
+      val total = slabs.map(_.dsts.length.toLong).sum + nDangling
+      require(total < Int.MaxValue, "flat in-CSR too large")
+      val tgt = new Array[Long](total.toInt)
+      val us = new Array[Long](total.toInt)
+      val ws = new Array[Double](total.toInt)
+      var i = 0
+      slabs.foreach { s =>
+        val w = 1.0 / s.dsts.length
+        s.dsts.foreach { d => tgt(i) = d; us(i) = s.src; ws(i) = w; i += 1 }
+      }
+      verts.foreach { v =>
+        if (!srcSet.contains(v)) { tgt(i) = v; us(i) = v; ws(i) = 1.0; i += 1 }
+      }
+      // sort entries by (target, u): index sort then permute
+      val idx = Array.range(0, i)
+      val boxed: Array[Integer] = idx.map(Integer.valueOf)
+      java.util.Arrays.sort(boxed, (a: Integer, b: Integer) => {
+        val c = java.lang.Long.compare(tgt(a), tgt(b))
+        if (c != 0) c else java.lang.Long.compare(us(a), us(b))
+      })
+      val srcIds = new Array[Long](verts.length)
+      val offsets = new Array[Int](verts.length + 1)
+      val dsts = new Array[Long](i)
+      val wts = new Array[Double](i)
+      var k = 0; var nSrc = 0
+      while (k < i) {
+        val e = boxed(k).intValue()
+        val t = tgt(e)
+        if (nSrc == 0 || srcIds(nSrc - 1) != t) {
+          srcIds(nSrc) = t; offsets(nSrc) = k; nSrc += 1
+        }
+        dsts(k) = us(e); wts(k) = ws(e)
+        k += 1
+      }
+      offsets(nSrc) = i
+      // every vertex has >= 1 in-entry OR is a pure source with none;
+      // compact to the actually-present targets
+      val b = FlatBCsr(srcIds.take(nSrc), offsets.take(nSrc + 1), dsts, wts)
+      graph.spark.sparkContext.broadcast(b)
+    })
+
+  /** Run backward push to threshold rmax from each target (qid → t).
+    * Dispatches to the packed-key broadcast fast path when the graph fits
+    * the broadcast budget, else the per-partition cogroup path. */
   def run(graph: LinkGraph, targets: Map[Int, Long], alpha: Double,
           rmax: Double, maxSupersteps: Int = 10000): Result = {
+    if (graph.numEdges <= ForwardPush.fastPathMaxEdges &&
+        ForwardPush.packableKeys(graph, targets))
+      runFast(graph, targets, alpha, rmax, maxSupersteps)
+    else runJoin(graph, targets, alpha, rmax, maxSupersteps)
+  }
+
+  /** Broadcast fast path: packed keys qid<<40|vid, primitive cascade
+    * against the flat in-CSR, chained rounds per job — the backward
+    * mirror of ForwardPush.runFast. */
+  def runFast(graph: LinkGraph, targets: Map[Int, Long], alpha: Double,
+              rmax: Double, maxSupersteps: Int = 10000,
+              chainLen: Int = 8): Result = {
+    val spark = graph.spark
+    import spark.implicits._
+    val p = graph.numParts
+    val sc = spark.sparkContext
+    val csrB = flatInCsr(graph)
+
+    var state: DataFrame = targets.toSeq.sortBy(_._1)
+      .map { case (q, v) => ForwardPush.KRow((q.toLong << 40) | v, 0.0, 1.0) }
+      .toDF()
+    var step = 0
+    var converged = false
+    var totalPushes = 0L
+    while (!converged && step < maxSupersteps) {
+      val rounds = math.min(chainLen, maxSupersteps - step)
+      val pushAcc = sc.longAccumulator(s"bfpushes_$step")
+      val remoteAcc = sc.longAccumulator(s"bfremote_$step")
+      var df = state
+      (0 until rounds).foreach { _ =>
+        df = df.repartition(p,
+            col("key").bitwiseAND(lit(ForwardPush.VidMask)))
+          .as[ForwardPush.KRow]
+          .mapPartitions { it =>
+            cascadeFastB(it, csrB.value, alpha, rmax, p,
+              pushAcc.add(_), remoteAcc.add(_))
+          }
+          .toDF()
+      }
+      state = df.localCheckpoint(true)
+      totalPushes += pushAcc.value
+      converged = remoteAcc.value == 0 && pushAcc.value == 0
+      step += rounds
+    }
+    val finalState = ForwardPush.unpackK(spark, state)
+    val rsum = finalState.agg(coalesce(sum($"residue"), lit(0.0)))
+      .as[Double].head()
+    Result(finalState, rsum, step, totalPushes)
+  }
+
+  /** Primitive-array backward cascade for one hash partition. */
+  private def cascadeFastB(it: Iterator[ForwardPush.KRow], csr: FlatBCsr,
+                           alpha: Double, rmax: Double, p: Int,
+                           onPush: Long => Unit, onRemote: Long => Unit)
+      : Iterator[ForwardPush.KRow] = {
+    import graft.util.Prim
+    val VidMask = ForwardPush.VidMask
+    val pid = org.apache.spark.TaskContext.getPartitionId()
+    val in = new Prim.Rows3(1024)
+    it.foreach(r => in.append(r.key, r.reserve, r.residue))
+    if (in.n == 0) { onPush(0L); onRemote(0L); return Iterator.empty }
+    Prim.sort3(in.keys, in.a, in.b, 0, in.n - 1)
+
+    val map = new Prim.LongSlotMap(in.n)
+    val store = new Prim.Rows3(in.n)
+    var idxs = new Array[Int](store.keys.length)
+    def slotOf(key: Long): Int = {
+      val s = map.getOrInsert(key, store.n)
+      if (s == store.n) {
+        store.append(key, 0.0, 0.0)
+        if (idxs.length < store.keys.length)
+          idxs = java.util.Arrays.copyOf(idxs, store.keys.length)
+        idxs(s) = csr.indexOf(key & VidMask)
+      }
+      s
+    }
+    var i = 0
+    while (i < in.n) {
+      val s = slotOf(in.keys(i))
+      store.a(s) += in.a(i); store.b(s) += in.b(i)
+      i += 1
+    }
+    val queue = new Prim.IntQueue(store.n)
+    val inQ = new java.util.BitSet(store.n)
+    i = 0
+    while (i < store.n) {
+      if (store.b(i) > rmax) { queue.add(i); inQ.set(i) }
+      i += 1
+    }
+    val remoteMap = new Prim.LongSlotMap(64)
+    val remote = new Prim.Rows3(64)
+    var pushes = 0L
+    while (queue.nonEmpty) {
+      val s = queue.poll()
+      inQ.clear(s)
+      val r = store.b(s)
+      if (r > rmax) {
+        pushes += 1
+        val idx = idxs(s)
+        val vid = store.keys(s) & VidMask
+        // pure self-loop row (dangling absorb): closed-form conversion
+        if (idx >= 0 && csr.degOf(idx) == 1 &&
+            csr.dsts(csr.offsets(idx)) == vid &&
+            csr.wts(csr.offsets(idx)) == 1.0) {
+          store.a(s) += r
+          store.b(s) = 0.0
+        } else {
+          store.a(s) += alpha * r
+          store.b(s) = 0.0
+          if (idx >= 0) {
+            val qbits = store.keys(s) & ~VidMask
+            var e = csr.offsets(idx)
+            val end = csr.offsets(idx + 1)
+            while (e < end) {
+              val u = csr.dsts(e)
+              val m = (1.0 - alpha) * r * csr.wts(e)
+              if (java.lang.Math.floorMod(
+                  org.apache.spark.unsafe.hash.Murmur3_x86_32
+                    .hashLong(u, 42), p) == pid) {
+                val s2 = slotOf(qbits | u)
+                store.b(s2) += m
+                if (store.b(s2) > rmax && !inQ.get(s2)) {
+                  queue.add(s2); inQ.set(s2)
+                }
+              } else {
+                val rs = remoteMap.getOrInsert(qbits | u, remote.n)
+                if (rs == remote.n) remote.append(qbits | u, 0.0, 0.0)
+                remote.b(rs) += m
+              }
+              e += 1
+            }
+          }
+        }
+      }
+    }
+    onPush(pushes)
+    onRemote(remote.n.toLong)
+    val localIt = (0 until store.n).iterator
+      .filter(s => store.a(s) != 0.0 || store.b(s) != 0.0)
+      .map(s => ForwardPush.KRow(store.keys(s), store.a(s), store.b(s)))
+    val remoteIt = (0 until remote.n).iterator
+      .map(s => ForwardPush.KRow(remote.keys(s), 0.0, remote.b(s)))
+    localIt ++ remoteIt
+  }
+
+  /** Per-partition cogroup path (beyond broadcast memory). */
+  def runJoin(graph: LinkGraph, targets: Map[Int, Long], alpha: Double,
+              rmax: Double, maxSupersteps: Int = 10000): Result = {
     val spark = graph.spark
     import spark.implicits._
     val p = graph.numParts

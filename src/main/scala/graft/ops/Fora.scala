@@ -153,6 +153,23 @@ object Fora {
     import spark.implicits._
     require(source >= 0 && source < (1L << 40),
       s"topk packed keys need vid < 2^40, got $source")
+    if (exactScores) {
+      // score accuracy (rsum < floor) is required regardless of when the
+      // set separates, so the refinement ladder cannot exit early — one
+      // push at the final threshold does the same work without paying
+      // per-round chain/collect overhead (rmax = floor/(m+n) ⇒ rsum ≤
+      // floor, as deterministicPpr)
+      val rmaxFine = floor / (graph.numEdges + graph.numVertices).toDouble
+      val fr = ForwardPush.runFastK(graph,
+        Seq(ForwardPush.KRow(source, 0.0, 1.0)).toDF(), alpha, rmaxFine)
+      val touched = fr.kstate
+        .select(($"key".bitwiseAND(lit(ForwardPush.VidMask))).as("vid"),
+          $"reserve".as("score"))
+      return graph.vertices.toDF("vid")
+        .join(touched, Seq("vid"), "left")
+        .select($"vid", coalesce($"score", lit(0.0)).as("score"))
+        .orderBy(desc("score"), asc("vid")).limit(k)
+    }
     var rmax = 1.0 / math.max(graph.numEdges, 1L).toDouble
     var round = 0
     var state: DataFrame = Seq(ForwardPush.KRow(source, 0.0, 1.0)).toDF()
@@ -166,7 +183,7 @@ object Fora {
       val kth = if (top.length >= k) top(k - 1)._2 else 0.0
       val next = if (top.length > k) top(k)._2 else 0.0
       val separated = kth > next + fr.rsum
-      if (fr.rsum < floor || (separated && !exactScores)) {
+      if (fr.rsum < floor || separated) {
         // pad with zero-score vertices: when fewer than k vertices are
         // reachable, top-k still returns k rows (ties at 0 break by vid)
         val touched = state

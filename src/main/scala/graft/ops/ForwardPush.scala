@@ -84,7 +84,7 @@ object ForwardPush {
     * qid<<40|vid: vids in [0, 2^40), qids in [0, 2^23). LinkGraph accepts
     * arbitrary longs (the 10^12-key plan is xxhash64-as-vid), so guard
     * here and fall back to the join path instead of corrupting keys. */
-  private def packableKeys(graph: LinkGraph, sources: Map[Int, Long]): Boolean = {
+  private[ops] def packableKeys(graph: LinkGraph, sources: Map[Int, Long]): Boolean = {
     val (lo, hi) = graph.vidBounds
     lo >= 0 && hi < (1L << 40) &&
       sources.keys.forall(q => q >= 0 && q < (1 << 23))

@@ -51,27 +51,30 @@ object PageRank {
     var delta = Double.MaxValue
 
     def step(r: DataFrame): DataFrame = {
-      // materialize contribs ONCE: the broadcast-subquery formulation
-      // (crossJoin(broadcast(csum))) re-executed the explode+shuffle
-      // subtree a second time for the scalar — measured as the round-1
-      // per-iteration cost that kept pagerank20 latency-bound
+      // materialize contribs ONCE: the round-1 broadcast-subquery form
+      // re-executed the explode+shuffle subtree a second time for the
+      // dangling-mass scalar. The csum broadcast now reads the CACHED
+      // contribs, and the returned ranks frame stays lazy — its lineage
+      // is shallow (scan ⋈ checkpointed contribs), so no further
+      // truncation is needed and each iteration runs ONE heavy job.
       val contribs = r.where($"outDeg" > 0)
         .join(adj, r("vid") === adj("src"))
         .select(explode($"dsts").as("vid"), ($"rank" / $"outDeg").as("c"))
         .groupBy($"vid").agg(sum($"c").as("contrib"))
         .localCheckpoint(true)
-      val csum = contribs.agg(coalesce(sum($"contrib"), lit(0.0)))
-        .as[Double].head()
+      val csum = contribs
+        .agg(coalesce(sum($"contrib"), lit(0.0)).as("csum"))
       base.join(contribs, Seq("vid"), "left")
+        .crossJoin(broadcast(csum))
         .select($"vid", $"outDeg",
           (lit((1.0 - damping) / n) +
-            lit(damping) * (lit((1.0 - csum) / n) +
+            lit(damping) * ((lit(1.0) - $"csum") / n +
               coalesce($"contrib", lit(0.0)))).as("rank"))
     }
 
     while (delta > tol && iter < maxIter) {
       val prev = ranks
-      ranks = step(ranks).localCheckpoint(true)
+      ranks = step(ranks)
       iter += 1
       if (iter % checkEvery == 0 || iter >= maxIter) {
         delta = ranks.as("n")
