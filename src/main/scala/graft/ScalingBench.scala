@@ -27,17 +27,74 @@ import graft.ops._
   * must agree before timings are accepted.
   */
 object ScalingBench {
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def appendLine(outPath: String, json: String): Unit = {
+    val path = java.nio.file.Paths.get(outPath)
+    java.nio.file.Files.createDirectories(path.getParent)
+    java.nio.file.Files.writeString(path, json + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** Hub-skew variant (N8 evidence): 5M-edge graph where 20% of all
+    * edges point at 10 hub vertices (~80k distinct in-edges each, vs
+    * ~25 for everyone else). PPR mass — and therefore walk endpoints —
+    * concentrates on the hubs, so the salted endpoint aggregation and
+    * AQE skew handling are on the hot path of this measurement. */
+  def runHub(spark: org.apache.spark.sql.SparkSession, cpus: Int,
+             repeats: Int, outPath: String): Unit = {
+    import spark.implicits._
+    import graft.util.Hashing
+    val nH = 200000L
+    val edges = spark.range(0L, 5000000L, 1L, 64).map { k =>
+      val src = java.lang.Math.floorMod(Hashing.h64(7L, k, 1L), nH)
+      val dst =
+        if (java.lang.Math.floorMod(Hashing.h64(7L, k, 2L), 5L) == 0L)
+          java.lang.Math.floorMod(Hashing.h64(7L, k, 3L), 10L)
+        else java.lang.Math.floorMod(Hashing.h64(7L, k, 4L), nH)
+      (src, dst)
+    }.toDF("src", "dst")
+    val g = LinkGraph.fromEdges(spark, edges, numParts = 32)
+    val qVids = g.vertices.toDF("vid")
+      .orderBy(xxhash64($"vid", lit(77L)), $"vid").limit(16)
+      .as[Long].collect()
+    val qSources = qVids.zipWithIndex.map { case (v, i) => i -> v }.toMap
+    Fora.query(g, Map(0 -> qVids.head), Fora.Params(eps = 0.5, delta = 1e-2,
+      pfail = 1e-2, seed = 1L)) // warmup
+    val runs = (0 until repeats).map { _ =>
+      timed { Fora.query(g, qSources, Fora.Params(eps = 0.5, delta = 1e-3,
+        pfail = 1e-3, seed = 42L)) }
+    }
+    val (fq, t) = runs.minBy(_._2)
+    val sum = fq.scores.agg(org.apache.spark.sql.functions
+      .sum(round($"score" * 1e6) / 1e6)).as[Double].head()
+    val json =
+      s"""{"cpus":$cpus,"n":${g.numVertices},"m":${g.numEdges},""" +
+        s""""repeats":$repeats,"t_fora_hub16":$t,""" +
+        s""""sspr_qps_hub":${16.0 / t},"checksum_hub":$sum}"""
+    println("SCALING_HUB " + json)
+    appendLine(outPath, json)
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nPages = sys.env.getOrElse("SPARK_GRAFT_PAGES", "100000").toLong
+    val workloads = sys.env.getOrElse("SPARK_GRAFT_WORKLOADS", "all")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "BENCH/scaling_runs.jsonl")
     val spark = GraftSession.local(cpus)
     import spark.implicits._
 
-    def timed[A](f: => A): (A, Double) = {
-      val t0 = System.nanoTime(); val r = f
-      (r, (System.nanoTime() - t0) / 1e9)
+    if (workloads == "hub") {
+      runHub(spark, cpus, sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt,
+        sys.env.getOrElse("SPARK_GRAFT_HUB_OUT", "BENCH/scaling_hub.jsonl"))
+      spark.stop()
+      return
     }
 
     // --- ingest (scale path: hash vids — no global-sort dictionary, no
@@ -109,11 +166,7 @@ object ScalingBench {
         s""""t_idx_build":$tIdxBuild,"t_fora64_idx":$tForaIdx,"sspr_qps_idx":$qpsIdx,""" +
         s""""checksum_pr":$prSum,"checksum_fora":$foraSum,"checksum_fora_idx":$foraIdxSum}"""
     println("SCALING " + json)
-    val path = java.nio.file.Paths.get(outPath)
-    java.nio.file.Files.createDirectories(path.getParent)
-    java.nio.file.Files.writeString(path, json + "\n",
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND)
+    appendLine(outPath, json)
     spark.stop()
   }
 }

@@ -381,6 +381,16 @@ object SparkEntry {
       graft.text.Dedup.nearDuplicates(
         docs(s, d).where(col("doc_id") % 10 === 0), threshold = 0.8)),
 
+    "d_ngram_jaccard" -> ((s, d) =>
+      graft.text.Dedup.ngramJaccardPairs(
+        docs(s, d).where(col("doc_id") % 50 === 0), n = 5, threshold = 0.1)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
+
+    "d_token_regex" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0)))
+          .cast("long").as("n_tokens_re"))),
+
     "d_simhash_pairs" -> ((s, d) =>
       graft.text.Dedup.simhashPairs(
         docs(s, d).where(col("doc_id") % 10 === 0), maxDist = 8)),
@@ -397,6 +407,13 @@ object SparkEntry {
     "e_ann_lsh" -> ((s, d) => {
       val emb = s.read.parquet(s"$d/embeddings.parquet")
       graft.text.Ann.lshTopK(emb,
+        emb.where(col("vec_id") < 3).select(col("vec_id").as("qid"),
+          col("embedding")), k = 10)
+    }),
+
+    "e_ann_ivf" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      graft.text.Ann.ivfTopK(emb,
         emb.where(col("vec_id") < 3).select(col("vec_id").as("qid"),
           col("embedding")), k = 10)
     }),
@@ -588,6 +605,59 @@ object SparkEntry {
         |  FROM cm JOIN sz sa ON sa.doc_id = cm.a
         |          JOIN sz sb ON sb.doc_id = cm.b)
         |WHERE j >= 0.05""".stripMargin,
+
+    "d_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+        |t AS (SELECT DISTINCT doc_id,
+        |        substr(text, CAST(i AS INTEGER), 5) AS tok
+        |      FROM d, unnest(range(1, greatest(length(text) - 4, 0) + 1))
+        |        AS u(i)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY doc_id),
+        |cm AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+        |       FROM t x JOIN t y ON x.tok = y.tok AND x.doc_id < y.doc_id
+        |       GROUP BY x.doc_id, y.doc_id)
+        |SELECT a, b, round(j, 6) AS jaccard FROM (
+        |  SELECT cm.a, cm.b,
+        |    CAST(cm.common AS DOUBLE) / (sa.sz + sb.sz - cm.common) AS j
+        |  FROM cm JOIN sz sa ON sa.doc_id = cm.a
+        |          JOIN sz sb ON sb.doc_id = cm.b)
+        |WHERE j >= 0.1""".stripMargin,
+
+    "d_token_regex" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+        |    AS n_tokens_re
+        |FROM documents""".stripMargin,
+
+    "e_ann_ivf" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cell_id, v AS cvec FROM c
+        |         ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+        |         LIMIT 16),
+        |cs AS (SELECT c.vec_id, c.v, cent.cell_id,
+        |         list_dot_product(c.v, cent.cvec) /
+        |         (greatest(sqrt(list_dot_product(c.v, c.v)), 1e-12) *
+        |          greatest(sqrt(list_dot_product(cent.cvec, cent.cvec)),
+        |                   1e-12)) AS csim
+        |       FROM c CROSS JOIN cent),
+        |assign AS (SELECT vec_id, v, cell_id AS cell FROM (
+        |    SELECT vec_id, v, cell_id, row_number() OVER
+        |      (PARTITION BY vec_id ORDER BY csim DESC, cell_id ASC) AS rn
+        |    FROM cs) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS qid, v AS qv, cell_id AS cell FROM (
+        |    SELECT vec_id, v, cell_id, row_number() OVER
+        |      (PARTITION BY vec_id ORDER BY csim DESC, cell_id ASC) AS rn
+        |    FROM cs WHERE vec_id < 3) WHERE rn <= 4),
+        |s AS (SELECT p.qid, a.vec_id,
+        |        list_dot_product(a.v, p.qv) /
+        |        (greatest(sqrt(list_dot_product(a.v, a.v)), 1e-12) *
+        |         greatest(sqrt(list_dot_product(p.qv, p.qv)), 1e-12)) AS cos
+        |      FROM assign a JOIN probes p ON a.cell = p.cell),
+        |r AS (SELECT qid, vec_id, cos, row_number() OVER
+        |        (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+        |      FROM s)
+        |SELECT qid, rank, vec_id, round(cos, 6) AS cos FROM r
+        |WHERE rank <= 10""".stripMargin,
 
     "e_ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv

@@ -103,6 +103,59 @@ object Ann {
       .select(col(qidCol), col("rank"), col(idCol), round(col("cos"), 6).as("cos"))
   }
 
+  /** IVF-style approximate top-k: coarse quantization with `numCells`
+    * deterministic centroids (hash-sampled corpus vectors — no trained
+    * k-means, nothing leaves the sandbox), corpus rows assigned to their
+    * nearest centroid ONCE (the inverted file), queries probe the
+    * `nProbe` nearest cells and score only those rows.
+    *
+    * 100 TB shape: assignment is one scan against broadcast centroids
+    * (cells persist alongside the corpus, like a partition key); a query
+    * touches ~nProbe/numCells of the corpus. Complements lshTopK: IVF
+    * adapts to the data's density (centroids ARE data points), LSH is
+    * data-independent. Recall floor pinned by AnnSpec vs bruteForceTopK. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              numCells: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              qidCol: String = "qid"): DataFrame = {
+    // deterministic centroid pick: the numCells corpus rows with the
+    // smallest Knuth multiplicative hash of their id — a uniform sample,
+    // pure function of the data, and expressible in plain SQL so the
+    // DuckDB oracle can replicate the whole operator
+    val centroids = corpus
+      .select(col(idCol).as("cell_id"), col(vecCol).as("cvec"))
+      .orderBy(pmod(col(idCol) * lit(2654435761L), lit(4294967296L)),
+        col(idCol))
+      .limit(numCells)
+    def nearestCells(df: DataFrame, keyCol: String, vec: Column, n: Int,
+                     outCol: String) = {
+      val scored = df.crossJoin(broadcast(centroids))
+        .withColumn("csim", cosine(vec.cast("array<double>"),
+          col("cvec").cast("array<double>")))
+      val w = Window.partitionBy(col(keyCol))
+        .orderBy(desc("csim"), col("cell_id").asc)
+      scored.withColumn("crank", row_number().over(w))
+        .where(col("crank") <= n)
+        .withColumnRenamed("cell_id", outCol)
+    }
+    // inverted file: each corpus row in its single nearest cell
+    val assigned = nearestCells(corpus.select(col(idCol), col(vecCol)),
+      idCol, col(vecCol), 1, "cell")
+      .select(col(idCol), col(vecCol), col("cell"))
+    val qv = queries.select(col(qidCol), col(vecCol).as("qvec"))
+    val probes = nearestCells(qv, qidCol, col("qvec"), nProbe, "cell")
+      .select(col(qidCol), col("qvec"), col("cell"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .select(col(qidCol), col(idCol),
+        cosine(col(vecCol).cast("array<double>"),
+          col("qvec").cast("array<double>")).as("cos"))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(desc("cos"), col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol), round(col("cos"), 6).as("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup by embedding): OR of
     * `numTables` LSH tables → in-bucket pairs → cosine threshold. */
   def cosineNearDuplicates(corpus: DataFrame, threshold: Double = 0.95,

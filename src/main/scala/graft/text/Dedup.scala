@@ -41,13 +41,38 @@ object Dedup {
     array(sigs: _*)
   }
 
-  /** Exact token-set Jaccard for given candidate pairs (or all pairs of a
-    * small corpus when `candidates` is None — test/oracle path). */
+  /** Distinct character n-gram shingles per doc (both engines count
+    * characters, not bytes — CJK-safe). Empty array for short texts. */
+  def charNgrams(textCol: Column, n: Int): Column = {
+    val cnt = greatest(length(textCol) - (n - 1), lit(0))
+    array_distinct(
+      when(cnt > 0, transform(sequence(lit(1), cnt),
+        i => textCol.substr(i, lit(n))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Exact token-set Jaccard for all pairs of a small corpus
+    * (test/oracle path — candidate generation is the LSH job). */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame =
+    jaccardFromTokens(docs.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("tok")), threshold)
+
+  /** Character-shingle (n-gram) Jaccard pairs — the dedup signal for
+    * texts without clean word boundaries; same all-pairs shape as
+    * jaccardPairs, intended for sampled/candidate inputs. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 5,
+                        threshold: Double = 0.1,
+                        idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame =
+    jaccardFromTokens(docs.select(col(idCol).as("id"),
+      explode(charNgrams(col(textCol), n)).as("tok")), threshold)
+
+  /** Shared Jaccard scorer over exploded (id, tok) rows (tok distinct
+    * per id). */
+  private def jaccardFromTokens(toks: DataFrame, threshold: Double)
       : DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-      explode(tokens(col(textCol))).as("tok"))
     val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val common = toks.as("x").join(toks.as("y"),
         col("x.tok") === col("y.tok") && col("x.id") < col("y.id"))

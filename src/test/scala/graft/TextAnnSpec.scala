@@ -107,6 +107,43 @@ class TextAnnSpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK recall@10 >= 0.9 vs bruteForceTopK on planted neighbors") {
+    val sp = spark
+    import sp.implicits._
+    val (corp, qs) = plantedEmbeddings
+    val corpusDf = corp.toDF("vec_id", "embedding")
+    val queryDf = qs.toDF("qid", "embedding")
+    def topIds(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topIds(Ann.bruteForceTopK(corpusDf, queryDf, k = 10))
+    val approx = topIds(Ann.ivfTopK(corpusDf, queryDf, k = 10,
+      numCells = 16, nProbe = 6))
+    (0L until 3L).foreach { q =>
+      val recall = exact(q).intersect(approx.getOrElse(q, Set.empty)).size / 10.0
+      assert(recall >= 0.9, s"q=$q recall=$recall")
+    }
+  }
+
+  test("ngramJaccardPairs matches a driver-side shingle recomputation") {
+    val sp = spark
+    import sp.implicits._
+    val docs = corpus.take(20).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(docs, n = 5, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def shingles(s: String) =
+      (0 to s.length - 5).map(i => s.substring(i, i + 5)).toSet
+    val rows = corpus.take(20)
+    val want = (for {
+      (a, ta) <- rows; (b, tb) <- rows if a < b
+      sa = shingles(ta); sb = shingles(tb)
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= 0.1
+    } yield (a, b) -> j).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, j) => assert(math.abs(got(k) - j) < 1e-9, s"$k") }
+  }
+
   test("cosineNearDuplicates recall >= 0.9 vs brute force at 0.95") {
     val sp = spark
     import sp.implicits._

@@ -86,6 +86,27 @@ lines.append("Auxiliary metrics at local[%d]: ops_per_sec=%.0f "
                 hi["walk_steps"], hi["push_supersteps"], hi["t_push"],
                 hi["t_walk"], hi.get("t_idx_build", float("nan"))))
 lines.append("")
+hub_path = runs_path.parent / "scaling_hub.jsonl"
+if hub_path.exists():
+    hub_by = {}
+    for line in hub_path.read_text().splitlines():
+        if line.strip():
+            d = json.loads(line)
+            hub_by[d["cpus"]] = d
+    if lo_c in hub_by and hi_c in hub_by:
+        h_lo, h_hi = hub_by[lo_c], hub_by[hi_c]
+        same = abs(h_lo["checksum_hub"] - h_hi["checksum_hub"]) < 1e-7
+        e = (h_lo["t_fora_hub16"] / h_hi["t_fora_hub16"]) / ratio
+        lines.append(
+            "## Hub-skew variant (N8: salted endpoint agg + AQE skew on "
+            "the hot path)\n\n"
+            f"Graph: n={h_hi['n']:,}, m={h_hi['m']:,}, 20% of raw edges "
+            f"into 10 hub vertices. fora16: T_{lo_c}="
+            f"{h_lo['t_fora_hub16']:.2f}s, T_{hi_c}="
+            f"{h_hi['t_fora_hub16']:.2f}s, speedup "
+            f"{h_lo['t_fora_hub16']/h_hi['t_fora_hub16']:.2f}×, efficiency "
+            f"**{e:.2f}**; checksums identical: "
+            f"{'YES' if same else 'NO'}.\n")
 lines.append(
     "The BASELINE.json gate metric is **sspr_qps** (SSPPR queries/sec): "
     f"efficiency {eff('t_fora64'):.2f} live / "
