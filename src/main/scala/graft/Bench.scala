@@ -20,6 +20,11 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         -1.0
       }
+      // localCheckpoint RDDs from finished queries are unreferenced but
+      // only freed when GC runs (ContextCleaner is GC-driven); without
+      // this, 36 queries' worth of cached blocks pile up and force disk
+      // spills that poison later timings
+      System.gc()
       name -> v
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

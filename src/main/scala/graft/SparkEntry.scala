@@ -296,9 +296,12 @@ object SparkEntry {
 
     // -- backward push / BiPPR (SURVEY.md O15/O16) --
 
+    // rmax=1e-11: estimate error must sit well below the oracle's own
+    // 0.8^140 residual so 6-dp rounding can't flip on knife-edge values
+    // (observed at sf0.01: a true π exactly 8e-10 above a boundary)
     "b_push" -> ((s, d) => {
       val g = derivedGraph(s, d)
-      val res = BackwardPush.run(g, Map(0 -> 1L), alpha = 0.2, rmax = 1e-9)
+      val res = BackwardPush.run(g, Map(0 -> 1L), alpha = 0.2, rmax = 1e-11)
       g.vertices.toDF("vid")
         .join(res.state.select(col("vid"), col("reserve")), Seq("vid"), "left")
         .select(col("vid"),
@@ -544,7 +547,7 @@ object SparkEntry {
     "g_mc_mass" ->
       """SELECT CAST(0 AS INTEGER) AS qid, CAST(1.0 AS DOUBLE) AS mass""",
 
-    "b_push" -> backwardOracleSql(target = 1L, alpha = 0.2, iters = 100),
+    "b_push" -> backwardOracleSql(target = 1L, alpha = 0.2, iters = 140),
     "b_bippr" -> bipprOracleSql(source = 1L, target = 5L, alpha = 0.2,
       iters = 100),
 
