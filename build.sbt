@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the full 36-query bench holds several persisted graph
+  // tables + localCheckpoint blocks while 32 tasks run hash aggregates;
+  // at 8g execution memory starved (observed UNABLE_TO_ACQUIRE_MEMORY in
+  // g_tri_pervertex). Box has 125 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
