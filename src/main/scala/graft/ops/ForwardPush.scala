@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import scala.collection.mutable
 import graft.graph.{CsrBlock, LinkGraph, PartMetrics}
 import graft.ckpt.CheckpointStore
