@@ -129,23 +129,25 @@ object Fora {
       .groupBy($"qid", $"vid").agg(sum($"mass").as("score"))
   }
 
-  /** Deterministic exact top-k by iterative push refinement (SURVEY.md
-    * O12 re-expressed without RNG): reserves are monotone lower bounds
-    * and π ≤ π° + rsum, so once the kth lower bound separates from the
-    * (k+1)th upper bound the prefix is exact.
+  /** Deterministic exact top-k (SURVEY.md O12 re-expressed without RNG):
+    * reserves are monotone lower bounds and π ≤ π° + rsum, so once the
+    * kth lower bound separates from the (k+1)th upper bound the top-k
+    * SET is provably exact.
     *
-    * WARM-STARTED: refinement rounds continue pushing from the previous
-    * round's (reserve, residue) state at a finer rmax — push is
-    * incremental by construction, so total work ≈ one push at the finest
-    * level reached, not the round-1 cold-restart sum (242 s → seconds at
-    * sf0.1). Starts coarse (rmax = 1/m) and descends ×16 per round.
+    * Default mode is a WARM-STARTED refinement ladder: each round
+    * continues pushing from the previous round's (reserve, residue)
+    * state at a ×16 finer rmax — push is incremental by construction,
+    * so total work ≈ one push at the finest level reached, not the
+    * round-1 cold-restart sum — and exits at the separation bound.
     *
-    * @param exactScores when true, refine until rsum < floor regardless
-    *        of separation, so reported scores equal π to within `floor`
-    *        (6-dp stable — the DuckDB-oracle mode). When false, exit as
-    *        soon as the top-k SET is provably exact (separation bound).
+    * @param exactScores when true, reported scores must equal π to
+    *        within `floor` (6-dp-stable, the DuckDB-oracle mode), which
+    *        forbids the early separation exit — so run ONE push at the
+    *        final threshold rmax = floor/(m+n) instead of paying the
+    *        ladder's per-round chain/collect overhead for no exit.
     *
-    * Tie-break: (score desc, vid asc), deterministic. */
+    * Rows are padded with zero-score vertices when fewer than k are
+    * reachable. Tie-break: (score desc, vid asc), deterministic. */
   def topk(graph: LinkGraph, source: Long, k: Int, alpha: Double = 0.2,
            floor: Double = 1e-9, maxRounds: Int = 40,
            exactScores: Boolean = false): DataFrame = {
