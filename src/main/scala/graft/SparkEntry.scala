@@ -60,6 +60,16 @@ object SparkEntry {
     triCache.getOrElseUpdate(sfDir,
       Triangles.triangles(derivedGraph(spark, sfDir)))
 
+  // g_ppr and b_bippr both need the SAME source-1 push at tol=1e-9;
+  // memoize it per sfDir (the triCache pattern — VERDICT r2 #5: b_bippr
+  // was recomputing a 13.9s push g_ppr had already paid for)
+  private val pprCache = TrieMap.empty[String, ForwardPush.Result]
+  private def sourceOnePush(spark: SparkSession, sfDir: String)
+      : ForwardPush.Result =
+    pprCache.getOrElseUpdate(sfDir,
+      ForwardPush.deterministicPpr(derivedGraph(spark, sfDir),
+        Map(0 -> 1L), alpha = 0.2, tol = 1e-9))
+
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
@@ -257,8 +267,7 @@ object SparkEntry {
 
     "g_ppr" -> ((s, d) => {
       val g = derivedGraph(s, d)
-      val res = ForwardPush.deterministicPpr(g, Map(0 -> 1L), alpha = 0.2,
-        tol = 1e-9)
+      val res = sourceOnePush(s, d)
       // oracle reports every vertex; fill untouched ones with 0
       g.vertices.toDF("vid")
         .join(res.state.select(col("vid"), col("reserve")), Seq("vid"), "left")
@@ -314,10 +323,10 @@ object SparkEntry {
       val (sVid, tVid) = (1L, 5L)
       // deterministic BiPPR: π̂(s,t) = π°_t(s) + Σ_v r_t(v)·π̂_fwd(s,v),
       // backward at coarse rmax (real residuals exercise the combine),
-      // forward reserves at tol=1e-9 ⇒ |est−π| ≤ rsum_b·tol
+      // forward reserves at tol=1e-9 ⇒ |est−π| ≤ rsum_b·tol.
+      // sVid == 1 so the forward push is g_ppr's, shared via sourceOnePush
       val back = BackwardPush.run(g, Map(0 -> tVid), alpha = 0.2, rmax = 1e-5)
-      val fwd = ForwardPush.deterministicPpr(g, Map(0 -> sVid), alpha = 0.2,
-        tol = 1e-9)
+      val fwd = sourceOnePush(s, d)
       val reserveAtS = back.state.where(col("vid") === sVid)
         .agg(coalesce(sum(col("reserve")), lit(0.0))).as[Double].head()
       val cross = back.state.select(col("vid"), col("residue"))
@@ -421,9 +430,16 @@ object SparkEntry {
           col("embedding")), k = 10)
     }),
 
+    // LSH path at its DESIGN POINT (threshold 0.9, where the recall spec
+    // applies — r2 ran it at 0.2 where hyperplane collision prob is ~8%).
+    // The corpus plants a deterministic near-dup partner (cos ≈ 0.998)
+    // for every 10th vector via integer-arithmetic perturbation, so the
+    // whole operator is DuckDB-oracle-able: the oracle recomputes pairs
+    // by brute force; miss probability per planted pair is < 1e-7 at the
+    // auto-chosen (bits, tables), so LSH output == exact output.
     "e_cos_neardup" -> ((s, d) =>
       graft.text.Ann.cosineNearDuplicates(
-        s.read.parquet(s"$d/embeddings.parquet"), threshold = 0.2)),
+        derivedNearDupEmbeddings(s, d), threshold = 0.9)),
 
     // -- multimodal columns (graft.media.Multimodal) --
 
@@ -435,6 +451,37 @@ object SparkEntry {
         .select(col("media_id"), explode(col("frame_ids")).as("fi"))
         .select(col("media_id"), col("fi").cast("long").as("frame_id")))
   )
+
+  /** Embeddings corpus with PLANTED near-duplicates: every 10th vector
+    * gets a partner at vec_id+1000000 perturbed by
+    * eps_i = ((vec_id·31 + i·7) mod 13 − 6) · 0.002 — pure integer
+    * arithmetic scaled by one double constant, so Spark and DuckDB
+    * compute bit-identical doubles and the planted pairs land at
+    * cos ≈ 0.998 (unit-norm corpus). Gives the cosine near-dup operator
+    * true positives to find (the raw embeddings table is random: zero
+    * pairs above cos 0.8) and makes it fully oracle-able. */
+  def derivedNearDupEmbeddings(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val perturbed = base.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + ((col("vec_id") * 31 + i * 7) % 13 - 6) * lit(0.002))
+          .as("embedding"))
+    base.unionByName(perturbed
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+  }
+
+  /** SQL text of the planted near-dup corpus (DuckDB dialect). */
+  val nearDupEmbSql: String =
+    """SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |UNION ALL
+      |SELECT vec_id + 1000000 AS vec_id,
+      |  list_transform(range(len(v)),
+      |    i -> v[i+1] + ((vec_id*31 + i*7) % 13 - 6) * 0.002) AS v
+      |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |      WHERE vec_id % 10 = 0)""".stripMargin
 
   /** Deterministic media table derived from documents in pure arithmetic —
     * identical derivation in the DuckDB oracle, so the multimodal metadata
@@ -585,8 +632,12 @@ object SparkEntry {
         |        / len(string_split(text, ' ')), 6) AS avg_token_len
         |FROM documents""".stripMargin,
 
+    // CAST: DuckDB sum(int) is HUGEINT, which the driver renders as float
+    // while Spark's LongType renders integral — hash-mismatch on equal
+    // values (the g_mutual_edges/mm_meta gotcha; round-2's only red row)
     "d_lang_agg" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  round(CAST(sum(length(text)) AS DOUBLE) / count(*), 6) AS avg_len
         |FROM documents GROUP BY lang""".stripMargin,
 
@@ -661,6 +712,20 @@ object SparkEntry {
         |      FROM s)
         |SELECT qid, rank, vec_id, round(cos, 6) AS cos FROM r
         |WHERE rank <= 10""".stripMargin,
+
+    // brute-force recomputation of the LSH near-dup query: sound because
+    // the planted pairs sit at cos ≈ 0.998 where the auto-sized LSH's
+    // per-pair miss probability is < 1e-7, and the background corpus has
+    // no pairs above cos 0.8 — so LSH output == exact output
+    "e_cos_neardup" ->
+      s"""WITH c AS ($nearDupEmbSql),
+         |p AS (SELECT x.vec_id AS a, y.vec_id AS b,
+         |        list_dot_product(x.v, y.v) /
+         |        (greatest(sqrt(list_dot_product(x.v, x.v)), 1e-12) *
+         |         greatest(sqrt(list_dot_product(y.v, y.v)), 1e-12)) AS cos
+         |      FROM c x JOIN c y ON x.vec_id < y.vec_id)
+         |SELECT a, b, round(cos, 6) AS cos FROM p
+         |WHERE cos >= 0.9""".stripMargin,
 
     "e_ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv

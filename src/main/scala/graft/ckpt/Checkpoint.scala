@@ -26,8 +26,19 @@ final class CheckpointStore(spark: SparkSession, root: String, runId: String) {
   private val runDir = Paths.get(root, runId)
   private val manifestDir = runDir.resolve("_manifests")
 
-  def stateDir(superstep: Int): String =
-    runDir.resolve("state").resolve(s"superstep=$superstep").toString
+  /** Manifest filename prefix per phase: push supersteps are v<k>.json
+    * (the resume chain), other phases get their own letter so
+    * latestSuperstep()/loadState never confuse a walk-score commit with
+    * push state (ADVICE r2: a Fora walk commit at index k made
+    * resume=true load (qid,vid,score) rows as push state). */
+  private def prefixOf(phase: String): String =
+    if (phase == "push") "v" else phase.take(1)
+
+  def stateDir(superstep: Int, phase: String = "push"): String = {
+    val base = if (phase == "push") runDir.resolve("state")
+    else runDir.resolve(s"state_$phase")
+    base.resolve(s"superstep=$superstep").toString
+  }
 
   /** Write `state` for `superstep`, then commit the manifest atomically.
     * Returns the re-read DataFrame — callers MUST continue from the return
@@ -35,45 +46,53 @@ final class CheckpointStore(spark: SparkSession, root: String, runId: String) {
   def commit(superstep: Int, state: DataFrame,
              scalars: Map[String, Double],
              partMetrics: Seq[graft.graph.PartMetrics],
-             params: Map[String, String]): DataFrame = {
-    val dir = stateDir(superstep)
+             params: Map[String, String],
+             phase: String = "push"): DataFrame = {
+    val dir = stateDir(superstep, phase)
     state.write.mode("overwrite").parquet(dir)
     Files.createDirectories(manifestDir)
     val json = CheckpointStore.manifestJson(runId, superstep, dir, scalars,
-      partMetrics, params)
-    val tmp = manifestDir.resolve(s"v$superstep.json.tmp")
+      partMetrics, params + ("phase" -> phase))
+    val prefix = prefixOf(phase)
+    val tmp = manifestDir.resolve(s"$prefix$superstep.json.tmp")
     Files.writeString(tmp, json)
-    Files.move(tmp, manifestDir.resolve(s"v$superstep.json"),
+    Files.move(tmp, manifestDir.resolve(s"$prefix$superstep.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     spark.read.parquet(dir)
   }
 
-  /** Highest committed superstep, if any. */
-  def latestSuperstep(): Option[Int] = {
+  /** Highest committed superstep of `phase` (push by default — the only
+    * phase whose manifests form the resume chain), if any. */
+  def latestSuperstep(phase: String = "push"): Option[Int] = {
     if (!Files.isDirectory(manifestDir)) return None
+    val prefix = prefixOf(phase)
     val vs = Files.list(manifestDir).iterator().asScala
       .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-        s.stripPrefix("v").stripSuffix(".json").toInt }
+      .collect { case s if s.startsWith(prefix) && s.endsWith(".json") &&
+          s.stripPrefix(prefix).stripSuffix(".json").forall(_.isDigit) =>
+        s.stripPrefix(prefix).stripSuffix(".json").toInt }
       .toSeq
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  def loadState(superstep: Int): DataFrame = spark.read.parquet(stateDir(superstep))
+  def loadState(superstep: Int, phase: String = "push"): DataFrame =
+    spark.read.parquet(stateDir(superstep, phase))
 
-  def manifestText(superstep: Int): String =
-    Files.readString(manifestDir.resolve(s"v$superstep.json"))
+  def manifestText(superstep: Int, phase: String = "push"): String =
+    Files.readString(manifestDir.resolve(
+      s"${prefixOf(phase)}$superstep.json"))
 
   /** Pull a committed scalar back out of a manifest. */
-  def scalar(superstep: Int, key: String): Option[Double] = {
-    val t = manifestText(superstep)
+  def scalar(superstep: Int, key: String, phase: String = "push")
+      : Option[Double] = {
+    val t = manifestText(superstep, phase)
     val re = ("\"" + java.util.regex.Pattern.quote(key) +
       "\"\\s*:\\s*(-?[0-9.eE+-]+)").r
     re.findFirstMatchIn(t).map(_.group(1).toDouble)
   }
 
-  def params(superstep: Int): Map[String, String] = {
-    val t = manifestText(superstep)
+  def params(superstep: Int, phase: String = "push"): Map[String, String] = {
+    val t = manifestText(superstep, phase)
     val re = """"param:([^"]+)"\s*:\s*"([^"]*)"""".r
     re.findAllMatchIn(t).map(m => m.group(1) -> m.group(2)).toMap
   }

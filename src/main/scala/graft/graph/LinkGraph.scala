@@ -104,26 +104,44 @@ final class LinkGraph private (
     * walks): legitimate whenever the adjacency fits in executor memory
     * (~16 B/edge); operators fall back to the per-partition CSR-join path
     * above this limit. */
-  lazy val flatCsr: org.apache.spark.broadcast.Broadcast[FlatCsr] = {
-    val slabs = adj.collect().sortBy(_.src)
-    val srcIds = slabs.map(_.src)
-    val offsets = new Array[Int](slabs.length + 1)
-    var i = 0
-    while (i < slabs.length) {
-      offsets(i + 1) = offsets(i) + slabs(i).dsts.length; i += 1
+  lazy val flatCsr: org.apache.spark.broadcast.Broadcast[FlatCsr] =
+    registerBroadcast("flatCsr") {
+      val slabs = adj.collect().sortBy(_.src)
+      val srcIds = slabs.map(_.src)
+      val offsets = new Array[Int](slabs.length + 1)
+      var i = 0
+      while (i < slabs.length) {
+        offsets(i + 1) = offsets(i) + slabs(i).dsts.length; i += 1
+      }
+      val dsts = new Array[Long](offsets(slabs.length))
+      i = 0
+      while (i < slabs.length) {
+        System.arraycopy(slabs(i).dsts, 0, dsts, offsets(i), slabs(i).dsts.length)
+        i += 1
+      }
+      spark.sparkContext.broadcast(FlatCsr(srcIds, offsets, dsts))
     }
-    val dsts = new Array[Long](offsets(slabs.length))
-    i = 0
-    while (i < slabs.length) {
-      System.arraycopy(slabs(i).dsts, 0, dsts, offsets(i), slabs(i).dsts.length)
-      i += 1
-    }
-    spark.sparkContext.broadcast(FlatCsr(srcIds, offsets, dsts))
-  }
+
+  /** Broadcasts derived from THIS graph instance (flat CSR, reverse CSR).
+    * Instance-scoped — a process-global cache keyed by storageDir served
+    * stale adjacency after a same-dir rebuild and leaked one broadcast
+    * per graph for the session's lifetime (ADVICE r2 #3). */
+  private val derivedBroadcasts = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.broadcast.Broadcast[_]]
+
+  /** Build-once holder for a broadcast tied to this graph's lifetime;
+    * destroyed by unpersistAll. */
+  def registerBroadcast[T](key: String)(
+      build: => org.apache.spark.broadcast.Broadcast[T])
+      : org.apache.spark.broadcast.Broadcast[T] =
+    derivedBroadcasts.getOrElseUpdate(key, build)
+      .asInstanceOf[org.apache.spark.broadcast.Broadcast[T]]
 
   def unpersistAll(): Unit = {
     edges.unpersist(); adj.unpersist(); csr.unpersist()
     vertices.unpersist(); outDegrees.unpersist(); undirectedEdges.unpersist()
+    derivedBroadcasts.values.foreach(_.destroy())
+    derivedBroadcasts.clear()
   }
 }
 

@@ -83,15 +83,14 @@ object BackwardPush {
     def degOf(idx: Int): Int = offsets(idx + 1) - offsets(idx)
   }
 
-  private val flatCache =
-    scala.collection.concurrent.TrieMap.empty[String,
-      org.apache.spark.broadcast.Broadcast[FlatBCsr]]
-
-  /** Build (once per graph) the broadcast reverse CSR. Collects the
-    * adjacency to the driver — legitimate under the same memory budget
-    * as LinkGraph.flatCsr (~24 B/edge), gated by fastPathMaxEdges. */
+  /** Build (once per graph INSTANCE — lifetime tracked by the LinkGraph,
+    * destroyed in unpersistAll; a storageDir-keyed global cache served
+    * stale CSRs after same-dir rebuilds) the broadcast reverse CSR.
+    * Collects the adjacency to the driver — legitimate under the same
+    * memory budget as LinkGraph.flatCsr (~24 B/edge), gated by
+    * fastPathMaxEdges. */
   def flatInCsr(graph: LinkGraph): org.apache.spark.broadcast.Broadcast[FlatBCsr] =
-    flatCache.getOrElseUpdate(graph.storageDir, {
+    graph.registerBroadcast("flatInCsr") {
       val slabs = graph.adj.collect()
       val verts = graph.vertices.collect()
       val srcSet = new java.util.HashSet[java.lang.Long](slabs.length * 2)
@@ -136,7 +135,7 @@ object BackwardPush {
       // compact to the actually-present targets
       val b = FlatBCsr(srcIds.take(nSrc), offsets.take(nSrc + 1), dsts, wts)
       graph.spark.sparkContext.broadcast(b)
-    })
+    }
 
   /** Run backward push to threshold rmax from each target (qid → t).
     * Dispatches to the packed-key broadcast fast path when the graph fits

@@ -42,6 +42,34 @@ object Fora {
     rsum * (2.0 * p.eps / 3.0 + 2.0) * math.log(2.0 / pfail) /
       (p.eps * p.eps * delta)
 
+  /** Walk-slot rows per explode chunk (see expandSlots). */
+  private val SlotChunk = 4096L
+
+  /** Expand rows carrying an `nwalks` count into one row per slot in
+    * [0, nwalks) WITHOUT materializing an ω_v-length array per vertex
+    * (VERDICT r2 #6: explode(sequence(0, nwalks−1)) builds the whole
+    * per-vertex slot array in ONE row — multi-MB exchange rows once a
+    * hot residual vertex wants 10⁶⁺ walks at δ=1/n web scale).
+    *
+    * Two-level streaming shape: explode only ⌈nwalks/4096⌉ chunk ids
+    * (bounded small arrays), then crossJoin a broadcast 4096-row range
+    * and filter slot < nwalks — output size O(Σ nwalks), never
+    * O(rows·max nwalks). Slot values are identical to the direct
+    * explode, so counter-RNG walks (origin, slot, step) are bitwise
+    * unchanged. */
+  private[ops] def expandSlots(rows: DataFrame): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val offs = broadcast(spark.range(SlotChunk).toDF("_off"))
+    rows
+      .withColumn("_chunk", explode(sequence(lit(0L),
+        floor(($"nwalks" - 1) / lit(SlotChunk)).cast("long"))))
+      .crossJoin(offs)
+      .withColumn("slot", $"_chunk" * lit(SlotChunk) + $"_off")
+      .where($"slot" < $"nwalks")
+      .drop("_chunk", "_off")
+  }
+
   /** Whole-graph SSPPR for a batch of sources (EP-A′, SURVEY.md §3.2). */
   def query(graph: LinkGraph, sources: Map[Int, Long], p: Params = Params(),
             ckpt: Option[CheckpointStore] = None,
@@ -62,11 +90,10 @@ object Fora {
     val residuals = push.state.where($"residue" > 0)
       .select($"qid", $"vid", $"residue")
     // ω_v = ceil(r_v·ω/rsum); each walk deposits r_v/ω_v
-    val seeds = residuals
+    val seeds = expandSlots(residuals
       .withColumn("nwalks",
         ceil($"residue" * lit(omega) / lit(math.max(push.rsum, 1e-300)))
-          .cast("long"))
-      .withColumn("slot", explode(sequence(lit(0L), $"nwalks" - 1)))
+          .cast("long")))
       .select($"qid", $"vid".as("origin"), $"slot", $"vid".as("cur"),
         ($"residue" / $"nwalks").as("mass"))
 
@@ -81,10 +108,15 @@ object Fora {
     }
 
     val tWalk = (System.nanoTime() - t1) / 1e9
+    // when checkpointing, endpoints are consumed 3× (scores write, walkMass,
+    // per-partition metrics) and the walk job would re-execute each time —
+    // pin it once and release after commit (ADVICE r2 #4)
+    val pinnedEndpoints =
+      if (ckpt.isDefined) endpoints.localCheckpoint(true) else endpoints
     // walk endpoints concentrate on high-PPR hubs (hot keys); salt the
     // endpoint aggregation over the walk slot before the final merge (N8)
     val walkMass = graft.util.Salting.saltedSum(
-      endpoints.select($"qid", $"vid", $"mass", $"slot"),
+      pinnedEndpoints.select($"qid", $"vid", $"mass", $"slot"),
       keys = Seq("qid", "vid"), valueCol = "mass",
       saltFrom = $"slot", salts = 64)
     var scores = push.state.select($"qid", $"vid", $"reserve".as("mass"))
@@ -92,9 +124,12 @@ object Fora {
       .groupBy($"qid", $"vid").agg(sum($"mass").as("score"))
 
     // per-partition WALK metrics manifest (north rule: checkpoints carry
-    // push AND walk metrics; push supersteps only record pushes)
+    // push AND walk metrics; push supersteps only record pushes).
+    // phase="walk" commits under its own namespace (w<k>.json manifests,
+    // state_walk/ dir) so a later resume=true push run can never load
+    // walk scores as push state (ADVICE r2 #2)
     ckpt.foreach { store =>
-      val pm = endpoints
+      val pm = pinnedEndpoints
         .groupBy(pmod(xxhash64($"vid"), lit(graph.numParts)).cast("int")
           .as("part"))
         .agg(count(lit(1)).as("walks"))
@@ -104,7 +139,7 @@ object Fora {
       scores = store.commit(push.supersteps, scores,
         Map("omega" -> omega, "rsumAfterPush" -> push.rsum,
           "walks" -> nWalks.toDouble),
-        pm, Map("phase" -> "walk"))
+        pm, Map.empty, phase = "walk")
     }
     QueryResult(scores, push.rsum, rmax, omega, push.pushes, nWalks, steps,
       push.supersteps, tPush, tWalk)
@@ -121,8 +156,8 @@ object Fora {
     val pfail = if (p.pfail.isNaN) 1.0 / n else p.pfail
     val omega = math.ceil(
       3.0 * math.log(2.0 / pfail) / (p.eps * p.eps * delta)).toLong
-    val seeds = sources.toSeq.sortBy(_._1).toDF("qid", "src")
-      .withColumn("slot", explode(sequence(lit(0L), lit(omega - 1))))
+    val seeds = expandSlots(sources.toSeq.sortBy(_._1).toDF("qid", "src")
+      .withColumn("nwalks", lit(omega)))
       .select($"qid", $"src".as("origin"), $"slot", $"src".as("cur"),
         lit(1.0 / omega).as("mass"))
     RandomWalks.run(graph, seeds, p.alpha, p.seed)
@@ -153,8 +188,21 @@ object Fora {
            exactScores: Boolean = false): DataFrame = {
     val spark = graph.spark
     import spark.implicits._
-    require(source >= 0 && source < (1L << 40),
-      s"topk packed keys need vid < 2^40, got $source")
+    // the packed-key ladder is sound only under ForwardPush.run's own
+    // fast-path gate (vids < 2^40, graph within the broadcast budget);
+    // outside it, degrade to one exact join-path push at the final
+    // threshold — same top-k set, no silent VidMask key corruption on
+    // hash-vid graphs and no whole-graph broadcast OOM (ADVICE r2 #1)
+    if (graph.numEdges > ForwardPush.fastPathMaxEdges ||
+        !ForwardPush.packableKeys(graph, Map(0 -> source))) {
+      val rmaxFine = floor / (graph.numEdges + graph.numVertices).toDouble
+      val res = ForwardPush.run(graph, Map(0 -> source), alpha, rmaxFine)
+      return graph.vertices.toDF("vid")
+        .join(res.state.select($"vid", $"reserve".as("score")), Seq("vid"),
+          "left")
+        .select($"vid", coalesce($"score", lit(0.0)).as("score"))
+        .orderBy(desc("score"), asc("vid")).limit(k)
+    }
     if (exactScores) {
       // score accuracy (rsum < floor) is required regardless of when the
       // set separates, so the refinement ladder cannot exit early — one

@@ -42,13 +42,14 @@ object WalkIndex {
     val rmax = Fora.rmaxOf(p, m, delta, pfail)
     val omega1 = Fora.omegaOf(p, 1.0, delta, pfail)
 
-    val seeds = graph.adj.toDF()
+    // streamed slot expansion (Fora.expandSlots): no nslots-length array
+    // rows even when deg·rmax·ω₁ approaches the cap
+    val seeds = Fora.expandSlots(graph.adj.toDF()
       .select($"src", size($"dsts").as("deg"))
-      .withColumn("nslots",
+      .withColumn("nwalks",
         least(ceil($"deg" * lit(rmax) * lit(omega1)), lit(cap.toLong))
           .cast("long"))
-      .where($"nslots" > 0)
-      .withColumn("slot", explode(sequence(lit(0L), $"nslots" - 1)))
+      .where($"nwalks" > 0))
       .select(lit(0).as("qid"), $"src".as("origin"), $"slot",
         $"src".as("cur"), lit(1.0).as("mass"))
 

@@ -19,9 +19,31 @@ class CheckpointSpec extends SparkSpec {
     assert(back.count() == 2)
     assert(store.latestSuperstep().contains(0))
     assert(store.scalar(0, "rsum").contains(0.75))
-    assert(store.params(0) == Map("alpha" -> "0.2"))
+    assert(store.params(0) == Map("alpha" -> "0.2", "phase" -> "push"))
     val t = store.manifestText(0)
     assert(t.contains(""""pushes":5"""))
+  }
+
+  test("walk-phase commits live in their own namespace (ADVICE r2)") {
+    val root = Files.createTempDirectory("ckpt-phase-").toString
+    val store = new CheckpointStore(spark, root, "run1")
+    val sp = spark
+    import sp.implicits._
+    val push = Seq((1L, 0.5, 0.1)).toDF("vid", "reserve", "residue")
+    store.commit(3, push, Map("rsum" -> 0.1), Nil, Map.empty)
+    // a Fora walk commit at a HIGHER superstep index, different schema
+    val scores = Seq((0, 1L, 0.42)).toDF("qid", "vid", "score")
+    store.commit(4, scores, Map("omega" -> 10.0), Nil, Map.empty,
+      phase = "walk")
+    // the push resume chain must not see the walk commit
+    assert(store.latestSuperstep().contains(3))
+    assert(store.latestSuperstep("walk").contains(4))
+    assert(store.loadState(3).columns.toSeq ==
+      Seq("vid", "reserve", "residue"))
+    assert(store.loadState(4, "walk").columns.toSeq ==
+      Seq("qid", "vid", "score"))
+    assert(store.scalar(4, "omega", "walk").contains(10.0))
+    assert(store.params(4, "walk") == Map("phase" -> "walk"))
   }
 
   test("resume after interruption equals uninterrupted run (bitwise)") {
