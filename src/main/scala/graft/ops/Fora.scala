@@ -64,6 +64,12 @@ object Fora {
     rows
       .withColumn("_chunk", explode(sequence(lit(0L),
         floor(($"nwalks" - 1) / lit(SlotChunk)).cast("long"))))
+      // spread CHUNK rows (≤4096 walks each) before the big crossJoin
+      // expansion: the input inherits its producer's partitioning (the
+      // push state block RDD may have only a handful of partitions) and
+      // per-vertex walk counts are hub-skewed, so balancing at chunk
+      // granularity keeps the expansion both parallel and even
+      .repartition(spark.sparkContext.defaultParallelism * 2)
       .crossJoin(offs)
       .withColumn("slot", $"_chunk" * lit(SlotChunk) + $"_off")
       .where($"slot" < $"nwalks")

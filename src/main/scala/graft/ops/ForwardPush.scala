@@ -135,17 +135,72 @@ object ForwardPush {
       $"reserve", $"residue")
   }
 
-  /** Fast-path core over packed KRow state (see runFast docs). */
+  /** Routes a packed key to its owning partition exactly like the
+    * cascade's local/remote test: murmur3(vid, seed 42) mod p — a pure
+    * function of content, never of physical parallelism. */
+  private final class VidPartitioner(p: Int)
+      extends org.apache.spark.Partitioner {
+    override def numPartitions: Int = p
+    override def getPartition(key: Any): Int =
+      java.lang.Math.floorMod(
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(
+          key.asInstanceOf[Long] & VidMask, 42), p)
+  }
+
+  /** Whole-partition push state as primitive arrays, key-sorted. One
+    * StateBlock per partition lives in the RDD cache BY REFERENCE
+    * (deserialized MEMORY_ONLY) — no per-row boxing, no serialization,
+    * no shuffle for the settled state, ever. ~24 B/row; a partition's
+    * block at the 20M-edge fast-path ceiling is a few MB. */
+  private[ops] case class StateBlock(keys: Array[Long],
+                                     reserve: Array[Double],
+                                     residue: Array[Double])
+
+  /** Fast-path core over packed KRow state (see runFast docs).
+    *
+    * Frontier-exchange execution. The r2 shape re-shuffled the ENTIRE
+    * state — settled reserves included — every round: ~24 B × |touched
+    * state| × supersteps of exchange for a frontier that is usually a
+    * few % of it (measured as the non-scaling 60% of the hub workload,
+    * push-phase efficiency 0.70 on the 2→8 window). Here each partition
+    * holds its state as ONE primitive-array StateBlock pinned in the
+    * RDD cache; rounds zipPartitions the block with that round's
+    * shuffled remote deltas, cascade locally at primitive speed, and
+    * emit (new block, remote deltas) — so the only rows that ever cross
+    * the wire are frontier deltas. `chainLen` rounds chain inside one
+    * job between lineage truncations, as before. Partition routing
+    * (VidPartitioner = the cascade's own local/remote test) is
+    * content-derived, so results are parallelism-independent. */
   def runFastK(graph: LinkGraph, init: DataFrame, alpha: Double,
                rmax: Double, maxSupersteps: Int = 10000,
                chainLen: Int = 8): FastResult = {
     val spark = graph.spark
     import spark.implicits._
-    val p = graph.numParts
+    // Partition count for the STATE, content-derived from graph size —
+    // deliberately decoupled from graph.numParts (which sizes the CSR
+    // block tables for the join path). The fast path's per-round work is
+    // tiny, so wide partitioning just multiplies per-stage scheduling:
+    // at 32 parts × 2 stages × ~32 supersteps the hub workload spent
+    // more driver time than cascade time (push scaling eff 0.45 on the
+    // 2→8 window). Fewer partitions also make more deposits local, so
+    // cascades run further per round and supersteps drop. ~1M edges per
+    // partition keeps a partition's state block at a few MB.
+    val p = math.max(4, math.min(graph.numParts,
+      (graph.numEdges / 1000000L).toInt + 1))
     val sc = spark.sparkContext
     val csrB = graph.flatCsr
+    val vp = new VidPartitioner(p)
 
-    var state: DataFrame = init
+    type KV = (Long, (Double, Double))
+    val empty = StateBlock(Array.emptyLongArray, Array.emptyDoubleArray,
+      Array.emptyDoubleArray)
+    var blocks: org.apache.spark.rdd.RDD[StateBlock] =
+      sc.parallelize(0 until p, p).map(_ => empty)
+    // init enters as frontier: round 1 seeds every init key into the
+    // cascade queue, which warm-started ladder runs (finer rmax than the
+    // state was converged at) rely on
+    var frontier: org.apache.spark.rdd.RDD[KV] =
+      init.as[KRow].rdd.map(r => (r.key, (r.reserve, r.residue)))
     var step = 0
     var converged = false
     var totalPushes = 0L
@@ -154,70 +209,126 @@ object ForwardPush {
       val rounds = math.min(chainLen, maxSupersteps - step)
       val pushAcc = sc.longAccumulator(s"fpushes_$step")
       val remoteAcc = sc.longAccumulator(s"fremote_$step")
-      var df = state
+      val epochCaches =
+        scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+      var b = blocks
+      var f = frontier
       (0 until rounds).foreach { _ =>
-        df = df.repartition(p, col("key").bitwiseAND(lit(VidMask)))
-          .as[KRow]
-          .mapPartitions { it =>
-            cascadeFast(it, csrB.value, alpha, rmax, p,
-              pushAcc.add(_), remoteAcc.add(_))
-          }
-          .toDF()
+        val fP = f.partitionBy(vp)
+        // out: one (newBlock, remoteKeys, remoteResidues) per partition;
+        // persisted deserialized so both consumers below read references
+        val out = b.zipPartitions(fP) { (bIt, dIt) =>
+          Iterator.single(cascadeBlock(
+            if (bIt.hasNext) bIt.next() else empty, dIt, csrB.value,
+            alpha, rmax, p, pushAcc.add(_), remoteAcc.add(_)))
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        epochCaches += out
+        b = out.map(_._1)
+        f = out.flatMap { case (_, rk, rv) =>
+          rk.indices.iterator.map(i => (rk(i), (0.0, rv(i)))) }
       }
-      state = df.localCheckpoint(true)
+      // pin BOTH epoch survivors before dropping the per-round caches
+      // (recomputing through unpersisted cascades would double-count
+      // accumulators)
+      blocks = b.localCheckpoint()
+      blocks.count()
+      frontier = f.localCheckpoint()
+      frontier.count()
+      epochCaches.foreach(_.unpersist(blocking = false))
       totalPushes += pushAcc.value
       converged = remoteAcc.value == 0 && pushAcc.value == 0
       step += rounds
     }
 
-    val rsum = state.agg(coalesce(sum($"residue"), lit(0.0)))
+    val kstate = spark.createDataset(blocks.flatMap { blk =>
+      blk.keys.indices.iterator
+        .filter(i => blk.reserve(i) != 0.0 || blk.residue(i) != 0.0)
+        .map(i => KRow(blk.keys(i), blk.reserve(i), blk.residue(i)))
+    }).toDF()
+    val rsum = kstate.agg(coalesce(sum($"residue"), lit(0.0)))
       .as[Double].head()
-    FastResult(state, rsum, step, totalPushes)
+    FastResult(kstate, rsum, step, totalPushes)
   }
 
-  /** Primitive-array cascade for one hash partition (fast path). */
-  private def cascadeFast(it: Iterator[KRow], csr: graft.graph.FlatCsr,
-                          alpha: Double, rmax: Double, p: Int,
-                          onPush: Long => Unit, onRemote: Long => Unit)
-      : Iterator[KRow] = {
+  /** Primitive-array cascade for one hash partition (fast path). The
+    * block's keys are SORTED, so settled-state lookups are binary
+    * searches and only keys first seen this round go through a hash map
+    * (the appended tail). Only dIt-touched keys can exceed threshold
+    * (every settled key reached local quiescence when it last changed),
+    * so the queue seeds from them alone; per-round work is
+    * O(|block| copy + frontier·cascade), with nothing state-sized
+    * hashed, shuffled, or boxed.
+    *
+    * @return (new sorted block, remote delta keys, remote residues) */
+  private def cascadeBlock(block: StateBlock,
+                           dIt: Iterator[(Long, (Double, Double))],
+                           csr: graft.graph.FlatCsr,
+                           alpha: Double, rmax: Double, p: Int,
+                           onPush: Long => Unit, onRemote: Long => Unit)
+      : (StateBlock, Array[Long], Array[Double]) = {
     import graft.util.Prim
     val pid = org.apache.spark.TaskContext.getPartitionId()
-    val in = new Prim.Rows3(1024)
-    it.foreach(r => in.append(r.key, r.reserve, r.residue))
-    if (in.n == 0) { onPush(0L); onRemote(0L); return Iterator.empty }
-    Prim.sort3(in.keys, in.a, in.b, 0, in.n - 1)
-
-    val map = new Prim.LongSlotMap(in.n)
-    val store = new Prim.Rows3(in.n)
-    var degs = new Array[Int](store.keys.length)
-    def slotOf(key: Long): Int = {
-      val s = map.getOrInsert(key, store.n)
-      if (s == store.n) {
-        store.append(key, 0.0, 0.0)
-        if (degs.length < store.keys.length)
-          degs = java.util.Arrays.copyOf(degs, store.keys.length)
-        val idx = csr.indexOf(key & VidMask)
-        degs(s) = if (idx >= 0) idx else -1 // store csr INDEX, -1 dangling
-      }
-      s
+    val dIn = new Prim.Rows3(64)
+    dIt.foreach { case (k, (a, b)) => dIn.append(k, a, b) }
+    if (dIn.n == 0) {
+      onPush(0L); onRemote(0L)
+      return (block, Array.emptyLongArray, Array.emptyDoubleArray)
     }
-    var i = 0
-    while (i < in.n) {
-      val s = slotOf(in.keys(i))
-      store.a(s) += in.a(i); store.b(s) += in.b(i)
-      i += 1
+    if (dIn.n > 1) Prim.sort3(dIn.keys, dIn.a, dIn.b, 0, dIn.n - 1)
+
+    val n0 = block.keys.length
+    val store = new Prim.Rows3(math.max(n0 + dIn.n, 16))
+    System.arraycopy(block.keys, 0, store.keys, 0, n0)
+    System.arraycopy(block.reserve, 0, store.a, 0, n0)
+    System.arraycopy(block.residue, 0, store.b, 0, n0)
+    store.n = n0
+
+    // csr index per slot, memoized lazily: only frontier-touched slots
+    // pay the csr lookup (-2 unknown, -1 dangling, else index)
+    var degIdx = new Array[Int](store.keys.length)
+    java.util.Arrays.fill(degIdx, -2)
+    def idxOf(s: Int): Int = {
+      if (degIdx(s) == -2) {
+        val r = csr.indexOf(store.keys(s) & VidMask)
+        degIdx(s) = if (r >= 0) r else -1
+      }
+      degIdx(s)
+    }
+
+    // tail map covers ONLY keys appended this round; sorted-region hits
+    // resolve by binary search
+    val tailMap = new Prim.LongSlotMap(dIn.n + 64)
+    def slotOf(key: Long): Int = {
+      val pos = java.util.Arrays.binarySearch(store.keys, 0, n0, key)
+      if (pos >= 0) pos
+      else {
+        val s = tailMap.getOrInsert(key, store.n)
+        if (s == store.n) {
+          store.append(key, 0.0, 0.0)
+          if (degIdx.length < store.keys.length) {
+            val old = degIdx.length
+            degIdx = java.util.Arrays.copyOf(degIdx, store.keys.length)
+            java.util.Arrays.fill(degIdx, old, degIdx.length, -2)
+          }
+        }
+        s
+      }
     }
     def thresholdOf(s: Int): Double = {
-      val idx = degs(s)
+      val idx = idxOf(s)
       val d = if (idx >= 0) csr.degOf(idx) else 0
       rmax * math.max(d, 1)
     }
 
-    val queue = new Prim.IntQueue(store.n)
-    val inQ = new java.util.BitSet(store.n)
-    i = 0
-    while (i < store.n) { // slot order == sorted first-occurrence order
-      if (store.b(i) > thresholdOf(i)) { queue.add(i); inQ.set(i) }
+    val queue = new Prim.IntQueue(64)
+    val inQ = new java.util.BitSet(store.n + 64)
+    var i = 0
+    while (i < dIn.n) { // delta-touched keys are the only push candidates
+      val s = slotOf(dIn.keys(i))
+      store.a(s) += dIn.a(i); store.b(s) += dIn.b(i)
+      if (store.b(s) > thresholdOf(s) && !inQ.get(s)) {
+        queue.add(s); inQ.set(s)
+      }
       i += 1
     }
 
@@ -230,7 +341,7 @@ object ForwardPush {
       val r = store.b(s)
       if (r > thresholdOf(s)) {
         pushes += 1
-        val idx = degs(s)
+        val idx = idxOf(s)
         if (idx < 0) { // dangling absorbs (closed-form self-loop series)
           store.a(s) += r
           store.b(s) = 0.0
@@ -266,12 +377,43 @@ object ForwardPush {
     onPush(pushes)
     onRemote(remote.n.toLong)
 
-    val localIt = (0 until store.n).iterator
-      .filter(s => store.a(s) != 0.0 || store.b(s) != 0.0)
-      .map(s => KRow(store.keys(s), store.a(s), store.b(s)))
-    val remoteIt = (0 until remote.n).iterator
-      .map(s => KRow(remote.keys(s), 0.0, remote.b(s)))
-    localIt ++ remoteIt
+    // re-establish the sorted invariant: sort the appended tail, then
+    // merge the two sorted runs (tail keys are distinct from the sorted
+    // region by construction)
+    val n = store.n
+    val outBlock =
+      if (n == n0) StateBlock(java.util.Arrays.copyOf(store.keys, n),
+        java.util.Arrays.copyOf(store.a, n),
+        java.util.Arrays.copyOf(store.b, n))
+      else {
+        if (n - n0 > 1) Prim.sort3(store.keys, store.a, store.b, n0, n - 1)
+        val ok = new Array[Long](n)
+        val oa = new Array[Double](n)
+        val ob = new Array[Double](n)
+        var x = 0; var y = n0; var z = 0
+        while (x < n0 && y < n) {
+          if (store.keys(x) < store.keys(y)) {
+            ok(z) = store.keys(x); oa(z) = store.a(x); ob(z) = store.b(x)
+            x += 1
+          } else {
+            ok(z) = store.keys(y); oa(z) = store.a(y); ob(z) = store.b(y)
+            y += 1
+          }
+          z += 1
+        }
+        while (x < n0) {
+          ok(z) = store.keys(x); oa(z) = store.a(x); ob(z) = store.b(x)
+          x += 1; z += 1
+        }
+        while (y < n) {
+          ok(z) = store.keys(y); oa(z) = store.a(y); ob(z) = store.b(y)
+          y += 1; z += 1
+        }
+        StateBlock(ok, oa, ob)
+      }
+    (outBlock,
+      java.util.Arrays.copyOf(remote.keys, remote.n),
+      java.util.Arrays.copyOf(remote.b, remote.n))
   }
 
   /** Per-partition CSR-join path (scales beyond broadcast memory;
