@@ -150,7 +150,30 @@ object LinkGraph {
   private def tempDir(): String =
     java.nio.file.Files.createTempDirectory("graft-graph-").toString
 
-  /** Build from a raw directed edge DataFrame with columns (src, dst). */
+  /** CSR block sizing rule (VERDICT r2 #8): a CsrBlock row carries one
+    * partition's whole adjacency as in-row arrays, so its size is bounded
+    * by construction, not by luck — numParts is derived from the edge
+    * count so the MEAN block stays ≤ this many edges (~256 MB of dsts at
+    * 8 B/edge, far under the 2 GB UnsafeRow ceiling with ~8× headroom
+    * for hash skew), and packCsr enforces the hard per-block cap below.
+    * `var` so specs can exercise the rule without 32M-edge fixtures. */
+  var edgesPerBlockTarget: Long = 32L * 1000 * 1000
+
+  /** Hard per-block ceiling: mean sizing plus 8× skew headroom. A block
+    * above this aborts the build with the sizing rule in the message —
+    * silent truncation or a 2 GB row failure mid-query are the
+    * alternatives. */
+  def maxBlockEdges: Long = edgesPerBlockTarget * 8
+
+  /** Partition count satisfying the sizing rule for `numEdges`, at least
+    * the caller's request. */
+  def partsFor(requested: Int, numEdges: Long): Int =
+    math.max(requested,
+      ((numEdges + edgesPerBlockTarget - 1) / edgesPerBlockTarget).toInt)
+
+  /** Build from a raw directed edge DataFrame with columns (src, dst).
+    * `numParts` is a minimum: the effective partition count is raised to
+    * meet the CSR block sizing rule (edgesPerBlockTarget). */
   def fromEdges(spark: SparkSession, raw: DataFrame, numParts: Int,
                 storageDir: String = tempDir()): LinkGraph = {
     import spark.implicits._
@@ -158,7 +181,8 @@ object LinkGraph {
       .where(col("src") =!= col("dst"))
       .distinct()
     e.write.mode("overwrite").parquet(s"$storageDir/edges")
-    val g = new LinkGraph(spark, storageDir, numParts)
+    val m = spark.read.parquet(s"$storageDir/edges").count()
+    val g = new LinkGraph(spark, storageDir, partsFor(numParts, m))
     g.edges.count()
     g
   }
@@ -262,7 +286,11 @@ object LinkGraph {
     d
   }
 
-  /** Pack one partition's adjacency slabs into a CSR block row. */
+  /** Pack one partition's adjacency slabs into a CSR block row. Enforces
+    * the block sizing rule: partsFor keeps the MEAN block under
+    * edgesPerBlockTarget, and this guard catches the pathological tail
+    * (hash skew, one-hub-owns-the-partition) before it becomes a 2 GB
+    * row failure deep inside a query. */
   def packCsr(part: Int, slabIt: Iterator[VertexAdj]): CsrBlock = {
     val slabs = slabIt.toArray.sortBy(_.src)
     val srcIds = slabs.map(_.src)
@@ -271,6 +299,11 @@ object LinkGraph {
     while (i < slabs.length) {
       offsets(i + 1) = offsets(i) + slabs(i).dsts.length; i += 1
     }
+    require(offsets(slabs.length).toLong <= maxBlockEdges,
+      s"CSR block $part has ${offsets(slabs.length)} edges > " +
+        s"maxBlockEdges=$maxBlockEdges: raise numParts (sizing rule: " +
+        s"~edgesPerBlockTarget=$edgesPerBlockTarget edges/partition) or " +
+        "split the offending hub's slab")
     val dsts = new Array[Long](offsets(slabs.length))
     i = 0
     while (i < slabs.length) {

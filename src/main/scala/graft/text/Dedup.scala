@@ -134,30 +134,62 @@ object Dedup {
     bits.reduce(_.bitwiseOR(_))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxDist. Buckets by
-    * maxDist+1 bit-chunks: pigeonhole guarantees every pair at distance
-    * ≤ maxDist shares at least one whole chunk, so RECALL IS 100% — the
-    * candidate join touches only same-chunk-value buckets, never all
-    * pairs (SimhashSpec pins the recall contract vs brute force). */
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, 100% recall
+    * (SimhashSpec pins exact recall vs brute force).
+    *
+    * Candidate generation is MULTI-INDEX Hamming search [Manku WWW'07
+    * style]: split the 64-bit signature into c = ⌊maxDist/2⌋+1 chunks;
+    * by pigeonhole a pair within maxDist differs by ≤1 bit in SOME
+    * chunk, so it collides once each doc also posts the single-bit-flip
+    * neighborhood of every chunk and the join demands one side exact.
+    * Versus the r2 exact pigeonhole (maxDist+1 chunks): at maxDist=8
+    * that gave 9 chunks of ~7 bits = 128 bucket values per index, so
+    * in-bucket pair generation was O((N/128)²) — quadratic in corpus
+    * size. Here chunks are ~64/(⌊d/2⌋+1) bits (12–13 at d=8, 4096+
+    * values) and each key holds ~N(w+1)/2^w docs, keeping candidate
+    * pairs linear in N for fixed near-dup density. Row cost: each doc
+    * posts c·(w+1) ≈ 70 index rows — the standard multi-index trade.
+    * When maxDist ≤ 3 the exact pigeonhole already gives ≥16-bit chunks
+    * and posts only c rows/doc, so it is kept for that regime. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
-    val numChunks = maxDist + 1
-    require(numChunks >= 1 && numChunks <= 64,
+    require(maxDist >= 0 && maxDist <= 63,
       s"maxDist must be in [0, 63], got $maxDist")
+    val oneErrPerChunk = maxDist > 3 // exact pigeonhole fine below
+    val numChunks = if (oneErrPerChunk) maxDist / 2 + 1 else maxDist + 1
     val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
-    // chunk c covers bits [64c/k, 64(c+1)/k) — widths differ by ≤1 bit
+    // chunk c covers bits [64c/k, 64(c+1)/k) — widths differ by ≤1 bit.
+    // Each element of the posexploded array is this chunk's posting
+    // list: exact value first (flag 1 via +2^w trick impossible — carry
+    // a struct instead), then the w single-bit flips when enabled.
     val chunkCols = (0 until numChunks).map { c =>
       val lo = (64 * c) / numChunks
       val w = (64 * (c + 1)) / numChunks - lo
       val mask = if (w >= 64) -1L else (1L << w) - 1L
-      shiftrightunsigned(col("sh"), lo).bitwiseAND(mask)
+      val v = shiftrightunsigned(col("sh"), lo).bitwiseAND(mask)
+      val exact = struct(v.as("ckey"), lit(true).as("isExact"))
+      if (!oneErrPerChunk) array(exact)
+      else {
+        val flips = (0 until w.toInt).map { b =>
+          struct(v.bitwiseXOR(lit(1L << b)).as("ckey"),
+            lit(false).as("isExact"))
+        }
+        array(exact +: flips: _*)
+      }
     }
     val chunked = sigs.select(col("id"), col("sh"),
-      posexplode(array(chunkCols: _*)).as(Seq("chunk", "ckey")))
+        posexplode(array(chunkCols: _*)).as(Seq("chunk", "post")))
+      .select(col("id"), col("sh"), col("chunk"),
+        explode(col("post")).as("p"))
+      .select(col("id"), col("sh"), col("chunk"),
+        col("p.ckey").as("ckey"), col("p.isExact").as("isExact"))
+    // one side exact ⇒ collisions are exactly the 0- and 1-bit-diff
+    // chunk pairs; flip-flip meetings (2-bit diffs) are excluded
     val cand = chunked.as("x").join(chunked.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
-          col("x.id") < col("y.id"))
+          col("x.id") < col("y.id") &&
+          (col("x.isExact") || col("y.isExact")))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         col("x.sh").as("sha"), col("y.sh").as("shb"))
       .dropDuplicates("a", "b")

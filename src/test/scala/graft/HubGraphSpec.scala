@@ -105,3 +105,44 @@ class HubGraphSpec extends SparkSpec {
     } finally g.unpersistAll()
   }
 }
+
+/** CSR block sizing rule (VERDICT r2 #8): partition count is derived
+  * from the edge count so a block's in-row arrays stay bounded, and
+  * packCsr aborts loudly on the skew tail instead of failing on a 2 GB
+  * row mid-query. */
+class CsrSizingSpec extends SparkSpec {
+  import graft.graph.LinkGraph
+
+  test("fromEdges raises numParts to meet edgesPerBlockTarget") {
+    val sp = spark
+    import sp.implicits._
+    val saved = LinkGraph.edgesPerBlockTarget
+    LinkGraph.edgesPerBlockTarget = 500
+    try {
+      // ~2000 edges, requested 1 partition -> rule demands >= 4
+      val edges = (0 until 2100).map(i => (i.toLong % 300, (i * 7 + 1).toLong % 300))
+      val g = LinkGraph.fromEdges(sp, edges.toDF("src", "dst"), numParts = 1)
+      try {
+        assert(g.numParts >= (g.numEdges / 500).toInt,
+          s"numParts=${g.numParts} for m=${g.numEdges}")
+        // every materialized block honors the hard cap
+        val sizes = g.csr.collect().map(b => b.offsets.last.toLong)
+        assert(sizes.forall(_ <= LinkGraph.maxBlockEdges))
+        assert(sizes.sum == g.numEdges)
+      } finally g.unpersistAll()
+    } finally LinkGraph.edgesPerBlockTarget = saved
+  }
+
+  test("packCsr rejects a block over the hard cap with the sizing rule") {
+    val saved = LinkGraph.edgesPerBlockTarget
+    LinkGraph.edgesPerBlockTarget = 4 // hard cap 32
+    try {
+      val slabs = (0 until 5).iterator.map(v =>
+        graft.graph.VertexAdj(v.toLong, Array.tabulate(10)(_.toLong + 100)))
+      val e = intercept[IllegalArgumentException] {
+        LinkGraph.packCsr(0, slabs)
+      }
+      assert(e.getMessage.contains("sizing rule"))
+    } finally LinkGraph.edgesPerBlockTarget = saved
+  }
+}
