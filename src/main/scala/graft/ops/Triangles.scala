@@ -6,18 +6,52 @@ import graft.graph.LinkGraph
 
 /** Exact triangle counting on the undirected simple graph (SURVEY.md N7).
   *
-  * Degree-ordered orientation (each undirected edge directed from the
-  * endpoint with smaller (degree, vid) to the larger) bounds every
-  * vertex's oriented out-degree by O(sqrt(m)), so the wedge join's output
-  * is O(m^1.5) worst case and far less on power-law graphs — the standard
-  * scalable formulation (e.g. Suri & Vassilvitskii, WWW 2011). Both joins
-  * are plain Catalyst equi-joins: AQE splits skewed hub partitions at
-  * runtime.
+  * Two physical plans behind one logical operator:
+  *
+  *   1. **Wedge join (scale path).** Degree-ordered orientation (each
+  *      undirected edge directed from the endpoint with smaller
+  *      (degree, vid) to the larger) bounds every vertex's oriented
+  *      out-degree by O(sqrt(m)), so the wedge join's output is O(m^1.5)
+  *      worst case and far less on power-law graphs — the standard
+  *      scalable formulation (e.g. Suri & Vassilvitskii, WWW 2011). Both
+  *      joins are plain Catalyst equi-joins: AQE splits skewed hub
+  *      partitions at runtime. Valid at any n and m; this is the plan a
+  *      100 TB web graph takes.
+  *
+  *   2. **Dense-subgraph bitset path.** When the vertex-id range is small
+  *      (≤ 2^14) and the undirected edge count modest (≤ 4M), the graph
+  *      can be locally DENSE (m ~ n²) — there a triangle's row-per-wedge
+  *      materialization is Θ(n³·p³) output rows for a count that only
+  *      needs Θ(m·n/64) word ops. We broadcast the oriented adjacency as
+  *      an n×n bitset matrix (≤ 32 MiB) and count per oriented edge
+  *      (a,b): |N⁺(a) ∩ N⁺(b)| via AND+popcount, attributing corners
+  *      without ever enumerating triangle rows. The per-edge work is
+  *      distributed over `spark.range(m)`; only the gated O(m) edge list
+  *      touches the driver. This mirrors how a dense community block
+  *      inside a web graph would be handled after graph partitioning.
   */
 object Triangles {
 
+  /** Dense-path gates: the bitset matrix is maxVid²/8 bytes broadcast
+    * (2^14 → 32 MiB) and the undirected edge list is collected once to
+    * the driver (4M rows → 64 MB). Above either bound, the wedge join
+    * is the only sound plan. */
+  private[ops] val DenseMaxVid: Long = 1L << 14
+  private[ops] val DenseMaxUndEdges: Long = 4L * 1000 * 1000
+
+  private def denseEligible(graph: LinkGraph): Boolean = {
+    val (lo, hi) = graph.vidBounds
+    lo >= 0 && hi < DenseMaxVid && graph.numEdges <= DenseMaxUndEdges
+  }
+
   /** Global triangle count. */
-  def count(graph: LinkGraph): Long = triangles(graph).count()
+  def count(graph: LinkGraph): Long =
+    if (denseEligible(graph)) {
+      import graph.spark.implicits._
+      val total = perVertexDense(graph)
+        .agg(sum(col("triangles"))).as[Option[Long]].head().getOrElse(0L)
+      total / 3
+    } else triangles(graph).count()
 
   /** One row per triangle: corners a,b,c in orientation order. */
   def triangles(graph: LinkGraph): DataFrame = {
@@ -60,9 +94,12 @@ object Triangles {
 
   /** (vid, triangles) for every vertex (0 for triangle-free vertices).
     * Accepts a precomputed triangle table so callers running both the
-    * global count and the per-vertex histogram scan the wedges once. */
+    * global count and the per-vertex histogram scan the wedges once.
+    * Without one, a dense-eligible graph takes the bitset path. */
   def perVertex(graph: LinkGraph, precomputed: Option[DataFrame] = None)
       : DataFrame = {
+    if (precomputed.isEmpty && denseEligible(graph))
+      return perVertexDense(graph)
     val spark = graph.spark
     import spark.implicits._
     val tris = precomputed.getOrElse(triangles(graph))
@@ -70,6 +107,80 @@ object Triangles {
       .groupBy($"vid").agg(org.apache.spark.sql.functions.count(lit(1)).as("triangles"))
     graph.vertices.toDF("vid")
       .join(corners, Seq("vid"), "left")
+      .select($"vid", coalesce($"triangles", lit(0L)).as("triangles"))
+  }
+
+  /** Dense-subgraph per-vertex counts (see object scaladoc, plan 2).
+    * Exact and identical to the wedge-join result; never enumerates
+    * triangle rows. Caller must have checked [[denseEligible]]. */
+  private[ops] def perVertexDense(graph: LinkGraph): DataFrame = {
+    val spark = graph.spark
+    import spark.implicits._
+    val sc = spark.sparkContext
+
+    // gated O(m) driver collect of the canonical undirected edge list
+    val und = graph.undirectedEdges.collect()
+    val m = und.length
+    val n = (graph.vidBounds._2 + 1).toInt
+
+    // undirected degrees drive the orientation — same (deg, vid) total
+    // order as the wedge join, so the two plans agree bit-for-bit
+    val deg = new Array[Int](n)
+    var i = 0
+    while (i < m) { deg(und(i).src.toInt) += 1; deg(und(i).dst.toInt) += 1; i += 1 }
+
+    val words = (n + 63) >>> 6
+    val bits = new Array[Long](n * words)
+    val ea = new Array[Int](m)
+    val eb = new Array[Int](m)
+    i = 0
+    while (i < m) {
+      val u = und(i).src.toInt; val v = und(i).dst.toInt
+      val uFirst = deg(u) < deg(v) || (deg(u) == deg(v) && u < v)
+      val a = if (uFirst) u else v
+      val b = if (uFirst) v else u
+      bits(a * words + (b >>> 6)) |= 1L << (b & 63)
+      ea(i) = a; eb(i) = b
+      i += 1
+    }
+    val bcBits = sc.broadcast(bits)
+    val bcEa = sc.broadcast(ea)
+    val bcEb = sc.broadcast(eb)
+
+    // distribute the O(m·n/64 + #triangles) counting work; each task
+    // accumulates into a local n-array and emits only nonzero rows
+    val parts = math.max(graph.numParts, spark.sparkContext.defaultParallelism)
+    val counted = spark.range(0L, m.toLong, 1L, parts)
+      .mapPartitions { it =>
+        val bs = bcBits.value; val la = bcEa.value; val lb = bcEb.value
+        val w = words; val nn = n
+        val cnt = new Array[Long](nn)
+        it.foreach { idx =>
+          val a = la(idx.toInt); val b = lb(idx.toInt)
+          val offA = a * w; val offB = b * w
+          var edgeTris = 0L
+          var j = 0
+          while (j < w) {
+            var x = bs(offA + j) & bs(offB + j)
+            edgeTris += java.lang.Long.bitCount(x)
+            while (x != 0L) {
+              cnt((j << 6) + java.lang.Long.numberOfTrailingZeros(x)) += 1L
+              x &= x - 1L
+            }
+            j += 1
+          }
+          cnt(a) += edgeTris
+          cnt(b) += edgeTris
+        }
+        (0 until nn).iterator.filter(cnt(_) != 0L)
+          .map(v => (v.toLong, cnt(v)))
+      }
+      .toDF("vid", "c")
+      .groupBy($"vid").agg(sum($"c").as("triangles"))
+      .localCheckpoint(true) // materialize before the broadcasts die
+    bcBits.destroy(); bcEa.destroy(); bcEb.destroy()
+    graph.vertices.toDF("vid")
+      .join(counted, Seq("vid"), "left")
       .select($"vid", coalesce($"triangles", lit(0L)).as("triangles"))
   }
 }

@@ -227,6 +227,27 @@ class TrianglesSpec extends SparkSpec {
       assert(pv == (0 until 6).map(i => i.toLong -> 10L).toMap)
     } finally g.unpersistAll()
   }
+
+  test("dense bitset path equals wedge-join path on a random dense graph") {
+    // ~180 vertices, edge iff h(u,v) hits — dense enough that both paths
+    // see thousands of triangles and every orientation branch is hit
+    val n = 180
+    val edges = for {
+      u <- 0 until n; v <- 0 until n
+      if u != v && java.lang.Math.floorMod(
+        graft.util.Hashing.h64(3L, u.toLong * n + v, 9L), 7L) == 0L
+    } yield (u, v)
+    val g = graph(edges, parts = 4)
+    try {
+      val tris = Triangles.triangles(g) // wedge join, explicitly
+      val wedgePv = Triangles.perVertex(g, Some(tris)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val densePv = Triangles.perVertex(g).collect() // gate routes dense
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(densePv == wedgePv)
+      assert(Triangles.count(g) * 3 == wedgePv.values.sum)
+    } finally g.unpersistAll()
+  }
 }
 
 class LabelPropagationSpec extends SparkSpec {

@@ -2,10 +2,11 @@
 """Compose BENCH/BASELINE.md from BENCH/scaling_runs.jsonl.
 
 Takes the LAST line per cpu level, asserts the determinism checksums
-match across levels, and computes scaling efficiency
+agree within the stated tolerance across levels, and computes scaling
+efficiency
   eff = (T_low / T_high) / (P_high / P_low)
 for each workload (the north rule's N -> 4N criterion, evidenced by
-local[8] vs local[32] per BASELINE.md §3).
+two local[P] levels per BASELINE.md §3).
 """
 import json
 import sys
@@ -13,6 +14,13 @@ from pathlib import Path
 
 runs_path = Path(sys.argv[1] if len(sys.argv) > 1 else "BENCH/scaling_runs.jsonl")
 out_path = Path(sys.argv[2] if len(sys.argv) > 2 else "BENCH/BASELINE.md")
+
+# Checksums are sums of per-element 1e-6-rounded scores: a single
+# diverging element shifts the sum by >= 1e-6, while fp summation-order
+# noise over ~10^7 terms is ~1e-9 — 1e-7 separates the two cleanly.
+# (VERDICT r2 #7: print full precision and the tolerance, never a
+# rounded "identical".)
+CHECK_TOL = 1e-7
 
 by_cpus = {}
 for line in runs_path.read_text().splitlines():
@@ -29,14 +37,12 @@ lo_c, hi_c = min(by_cpus), max(by_cpus)
 lo, hi = by_cpus[lo_c], by_cpus[hi_c]
 ratio = hi_c / lo_c
 
-# checksum = sum of per-element 1e-6-rounded scores: a single diverging
-# element shifts it by >= 1e-6, while fp summation-order noise over ~10^7
-# terms is ~1e-9 — 1e-7 separates the two cleanly
 checks = []
-for key in ("checksum_pr", "checksum_fora", "checksum_fora_idx"):
+for key in ("checksum_pr", "checksum_fora", "checksum_fora_idx",
+            "checksum_wh", "checksum_wh_idx"):
     if key in lo and key in hi:
-        same = abs(lo[key] - hi[key]) < 1e-7
-        checks.append((key, lo[key], hi[key], same))
+        delta = abs(lo[key] - hi[key])
+        checks.append((key, lo[key], hi[key], delta, delta < CHECK_TOL))
 
 def eff(tkey):
     return (lo[tkey] / hi[tkey]) / ratio
@@ -46,6 +52,8 @@ workloads = [
     ("pagerank20 (20 fixed iters)", "t_pagerank20", "pr_edges_per_sec"),
     ("fora64 (64-source SSPPR)", "t_fora64", "sspr_qps"),
     ("fora64+index (FORA+)", "t_fora64_idx", "sspr_qps_idx"),
+    ("fora64 walk-heavy (rmaxScale=10)", "t_fora64_wh", "sspr_qps_wh"),
+    ("fora64 walk-heavy + index", "t_fora64_wh_idx", "sspr_qps_wh_idx"),
 ]
 
 lines = []
@@ -56,11 +64,16 @@ lines.append(f"Input: deterministic synthetic pages (seed 42), "
              f"partitioning content-derived (fixed 32 parts), only "
              f"physical parallelism varies. min of "
              f"{hi.get('repeats', '?')} repeats per workload.\n")
-lines.append("## Determinism gate (required before timings count)\n")
-lines.append("| checksum | local[%d] | local[%d] | identical |" % (lo_c, hi_c))
-lines.append("|---|---|---|---|")
-for key, a, b, same in checks:
-    lines.append(f"| {key} | {a:.6f} | {b:.6f} | "
+lines.append(f"## Determinism gate (required before timings count)\n")
+lines.append(f"Checksums are sums of 1e-6-rounded per-vertex scores; the "
+             f"acceptance tolerance is |Δ| < {CHECK_TOL:g} (fp "
+             f"summation-order noise is ~1e-9; any real per-element "
+             f"divergence moves the sum by ≥ 1e-6). Full-precision values:\n")
+lines.append("| checksum | local[%d] | local[%d] | Δ | within tol |"
+             % (lo_c, hi_c))
+lines.append("|---|---|---|---|---|")
+for key, a, b, delta, same in checks:
+    lines.append(f"| {key} | {a!r} | {b!r} | {delta:.3e} | "
                  f"{'YES' if same else '**NO — timings invalid**'} |")
 lines.append("")
 lines.append(f"## Scaling local[{lo_c}] → local[{hi_c}] "
@@ -86,6 +99,27 @@ lines.append("Auxiliary metrics at local[%d]: ops_per_sec=%.0f "
                 hi["walk_steps"], hi["push_supersteps"], hi["t_push"],
                 hi["t_walk"], hi.get("t_idx_build", float("nan"))))
 lines.append("")
+
+# --- FORA+ index analysis (VERDICT r2 "what's missing" #4) ---
+if "t_fora64_wh" in hi and "t_fora64_wh_idx" in hi:
+    bal_gain = hi["t_fora64"] / hi["t_fora64_idx"]
+    wh_gain = hi["t_fora64_wh"] / hi["t_fora64_wh_idx"]
+    walk_frac_bal = hi["t_walk"] / hi["t_fora64"]
+    walk_frac_wh = hi.get("t_wh_walk", float("nan")) / hi["t_fora64_wh"]
+    lines.append(
+        "## FORA+ walk-index analysis\n\n"
+        f"At the balanced rmax/ω optimum, walks are only "
+        f"{100 * walk_frac_bal:.0f}% of query time (t_walk="
+        f"{hi['t_walk']:.1f}s of {hi['t_fora64']:.1f}s at local[{hi_c}]), "
+        f"so precomputed walks can win at most that: measured index gain "
+        f"{bal_gain:.2f}×. The reference's ~10× headline applies to the "
+        f"walk-dominated regime; at rmaxScale=10 (push stops 10× coarser, "
+        f"walks {100 * walk_frac_wh:.0f}% of query time) the index gain is "
+        f"**{wh_gain:.2f}×** (t={hi['t_fora64_wh']:.1f}s live vs "
+        f"{hi['t_fora64_wh_idx']:.1f}s indexed; build once "
+        f"{hi.get('t_idx_wh_build', float('nan')):.1f}s, amortized over "
+        f"the query stream).\n")
+
 hub_path = runs_path.parent / "scaling_hub.jsonl"
 if hub_path.exists():
     hub_by = {}
@@ -95,7 +129,8 @@ if hub_path.exists():
             hub_by[d["cpus"]] = d
     if lo_c in hub_by and hi_c in hub_by:
         h_lo, h_hi = hub_by[lo_c], hub_by[hi_c]
-        same = abs(h_lo["checksum_hub"] - h_hi["checksum_hub"]) < 1e-7
+        delta = abs(h_lo["checksum_hub"] - h_hi["checksum_hub"])
+        same = delta < CHECK_TOL
         e = (h_lo["t_fora_hub16"] / h_hi["t_fora_hub16"]) / ratio
         lines.append(
             "## Hub-skew variant (N8: salted endpoint agg + AQE skew on "
@@ -105,19 +140,40 @@ if hub_path.exists():
             f"{h_lo['t_fora_hub16']:.2f}s, T_{hi_c}="
             f"{h_hi['t_fora_hub16']:.2f}s, speedup "
             f"{h_lo['t_fora_hub16']/h_hi['t_fora_hub16']:.2f}×, efficiency "
-            f"**{e:.2f}**; checksums identical: "
-            f"{'YES' if same else 'NO'}.\n")
+            f"**{e:.2f}** (gate ≥ 0.8: "
+            f"{'PASS' if e >= 0.8 else '**BELOW GATE**'}); checksum "
+            f"{h_lo['checksum_hub']!r} vs {h_hi['checksum_hub']!r}, "
+            f"Δ={delta:.3e} (tol {CHECK_TOL:g}): "
+            f"{'OK' if same else '**NO — timings invalid**'}.\n")
+        if "t_push" in h_hi:
+            lines.append("Per-phase split (locates where hub-skew cost "
+                         "lands — VERDICT r2 asked for this breakdown):\n")
+            lines.append(f"| phase | T_{lo_c} (s) | T_{hi_c} (s) | phase eff |")
+            lines.append("|---|---|---|---|")
+            for ph, key in (("push", "t_push"), ("walk", "t_walk"),
+                            ("endpoint agg + merge", "t_agg")):
+                if key in h_lo and key in h_hi and h_hi[key] > 0:
+                    pe = (h_lo[key] / h_hi[key]) / ratio
+                    lines.append(f"| {ph} | {h_lo[key]:.2f} | "
+                                 f"{h_hi[key]:.2f} | {pe:.2f} |")
+            lines.append("")
+
+gate_effs = [("sspr_qps live", eff("t_fora64"))]
+if "t_fora64_idx" in lo:
+    gate_effs.append(("indexed", eff("t_fora64_idx")))
+if "t_fora64_wh" in lo:
+    gate_effs.append(("walk-heavy", eff("t_fora64_wh")))
+gate_txt = ", ".join(f"{n} {e:.2f}" for n, e in gate_effs)
+gate_ok = all(e >= 0.8 for _, e in gate_effs)
 lines.append(
     "The BASELINE.json gate metric is **sspr_qps** (SSPPR queries/sec): "
-    f"efficiency {eff('t_fora64'):.2f} live / "
-    + (f"{eff('t_fora64_idx'):.2f} indexed" if 't_fora64_idx' in lo else "—")
-    + " — both ≥ 0.8. pagerank20 and ingest sit below the gate: their "
-    "per-iteration fixed costs (job scheduling, AQE replanning, lineage "
-    "truncation, parquet write barriers) do not shrink with cores at this "
-    "input size; on a real 4N-executor cluster the same fixed costs are "
-    "amortized over 100–1000× more rows per superstep. Fix plan: chain "
-    "iterations per job (as the push cascade already does) and grow the "
-    "bench input as wall-clock budget allows.\n")
+    f"efficiency {gate_txt} — "
+    + ("all ≥ 0.8. " if gate_ok else "**gate not met on every variant**. ")
+    + "pagerank20 and ingest sit below the gate: their per-iteration "
+    "fixed costs (job scheduling, AQE replanning, lineage truncation, "
+    "parquet write barriers) do not shrink with cores at this input "
+    "size; on a real 4N-executor cluster the same fixed costs are "
+    "amortized over 100–1000× more rows per superstep.\n")
 hw_path = runs_path.parent / "hw_probe.json"
 if hw_path.exists():
     hw = json.loads(hw_path.read_text().strip().splitlines()[-1])
@@ -130,7 +186,8 @@ if hw_path.exists():
             f"parallel job on this box is bounded by this ceiling; "
             f"Spark efficiencies above are NOT normalized by it.\n")
 ok = all(s for *_, s in checks)
-lines.append(f"Checksums identical across levels: {'YES' if ok else 'NO'}.")
+lines.append(f"All determinism checksums within tolerance: "
+             f"{'YES' if ok else 'NO'}.")
 out_path.write_text("\n".join(lines) + "\n")
 print(f"wrote {out_path}")
 for name, tkey, _ in workloads:
