@@ -51,28 +51,31 @@ object Fora {
     * per-vertex slot array in ONE row — multi-MB exchange rows once a
     * hot residual vertex wants 10⁶⁺ walks at δ=1/n web scale).
     *
-    * Two-level streaming shape: explode only ⌈nwalks/4096⌉ chunk ids
-    * (bounded small arrays), then crossJoin a broadcast 4096-row range
-    * and filter slot < nwalks — output size O(Σ nwalks), never
-    * O(rows·max nwalks). Slot values are identical to the direct
-    * explode, so counter-RNG walks (origin, slot, step) are bitwise
-    * unchanged. */
+    * Two-level streaming shape: explode ⌈nwalks/4096⌉ chunk ids, then
+    * explode each chunk's OWN slot range — a sequence of exactly
+    * min(4096, nwalks − chunk·4096) elements, so per-row arrays stay
+    * ≤ 32 KB and total output is exactly Σ nwalks. (The first fix of
+    * this crossJoined a broadcast 4096-row range and filtered
+    * slot < nwalks: output-exact, but it GENERATED 4096 rows per chunk
+    * row pre-filter — with millions of residual vertices wanting ~1
+    * walk each, billions of filtered rows dominated the whole walk
+    * phase.) Slot values are identical to the direct explode, so
+    * counter-RNG walks (origin, slot, step) are bitwise unchanged. */
   private[ops] def expandSlots(rows: DataFrame): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
-    val offs = broadcast(spark.range(SlotChunk).toDF("_off"))
     rows
       .withColumn("_chunk", explode(sequence(lit(0L),
         floor(($"nwalks" - 1) / lit(SlotChunk)).cast("long"))))
-      // spread CHUNK rows (≤4096 walks each) before the big crossJoin
-      // expansion: the input inherits its producer's partitioning (the
-      // push state block RDD may have only a handful of partitions) and
-      // per-vertex walk counts are hub-skewed, so balancing at chunk
-      // granularity keeps the expansion both parallel and even
+      // spread CHUNK rows (≤4096 walks each) before expansion: the input
+      // inherits its producer's partitioning (the push state block RDD
+      // may have only a handful of partitions) and per-vertex walk
+      // counts are hub-skewed, so balancing at chunk granularity keeps
+      // the expansion both parallel and even
       .repartition(spark.sparkContext.defaultParallelism * 2)
-      .crossJoin(offs)
+      .withColumn("_off", explode(sequence(lit(0L),
+        least(lit(SlotChunk), $"nwalks" - $"_chunk" * lit(SlotChunk)) - 1)))
       .withColumn("slot", $"_chunk" * lit(SlotChunk) + $"_off")
-      .where($"slot" < $"nwalks")
       .drop("_chunk", "_off")
   }
 

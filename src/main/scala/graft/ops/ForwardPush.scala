@@ -178,15 +178,18 @@ object ForwardPush {
     import spark.implicits._
     // Partition count for the STATE, content-derived from graph size —
     // deliberately decoupled from graph.numParts (which sizes the CSR
-    // block tables for the join path). The fast path's per-round work is
-    // tiny, so wide partitioning just multiplies per-stage scheduling:
-    // at 32 parts × 2 stages × ~32 supersteps the hub workload spent
-    // more driver time than cascade time (push scaling eff 0.45 on the
-    // 2→8 window). Fewer partitions also make more deposits local, so
-    // cascades run further per round and supersteps drop. ~1M edges per
-    // partition keeps a partition's state block at a few MB.
-    val p = math.max(4, math.min(graph.numParts,
-      (graph.numEdges / 1000000L).toInt + 1))
+    // block tables for the join path) and NEVER from parallelism (the
+    // routing function fixes float summation order, so p must be a pure
+    // function of content for the two-level determinism gate). Two
+    // forces: wide partitioning multiplies per-stage scheduling (~32
+    // supersteps × 2 stages), narrow partitioning caps usable cores —
+    // the r2 rule (~1M edges/part) gave the 4.8M-edge hub graph 5
+    // partitions, so local[8] could never use more than 5 cores and
+    // push-phase scaling efficiency measured 0.40. Floor at 16 (cores
+    // any executor tier actually has), cap at 64, ~500k edges/part in
+    // between.
+    val p = math.max(16, math.min(64,
+      (graph.numEdges / 500000L).toInt + 1))
     val sc = spark.sparkContext
     val csrB = graph.flatCsr
     val vp = new VidPartitioner(p)
