@@ -11,7 +11,7 @@ object PlanAudit {
   val audited: Seq[String] = Seq(
     "g_edges",        // scan: ReadSchema pruned to 2 columns + pushed filter
     "g_deg_hist",     // two-phase hash agg, no sort
-    "g_tri_count",    // degree-ordered wedge join shape
+    "g_tri_count",    // dense bitset path here (gated); wedge join at scale
     "d_near_dup",     // banded LSH candidates -> per-pair verification
     "d_lang_agg",     // partial+final agg over a pruned scan
     "e_ann_topk",     // broadcast query set, single corpus scan

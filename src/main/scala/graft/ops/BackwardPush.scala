@@ -156,7 +156,10 @@ object BackwardPush {
               chainLen: Int = 8): Result = {
     val spark = graph.spark
     import spark.implicits._
-    val p = graph.numParts
+    // same two-regime content-derived rule as the forward fast path:
+    // a small graph's cascade drains locally in one chained job (p=1)
+    // instead of paying ~supersteps × p near-empty shuffle tasks
+    val p = ForwardPush.fastStateParts(graph.numEdges)
     val sc = spark.sparkContext
     val csrB = flatInCsr(graph)
 

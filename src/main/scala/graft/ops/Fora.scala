@@ -27,6 +27,9 @@ object Fora {
                     delta: Double = Double.NaN, pfail: Double = Double.NaN,
                     rmaxScale: Double = 1.0, seed: Long = 42L)
 
+  // not `private`: Catalyst encoder codegen can't access private classes
+  case class ScoreRow(qid: Int, vid: Long, score: Double)
+
   case class QueryResult(scores: DataFrame, // (qid, vid, score)
                          rsum: Double, rmax: Double, omega: Double,
                          pushes: Long, walks: Long, walkSteps: Long,
@@ -112,7 +115,8 @@ object Fora {
         val e = WalkIndex.lookup(graph, idx, seeds, p.alpha, p.seed)
         (e, 0L, seeds.count())
       case None =>
-        val w = RandomWalks.runCounted(graph, seeds, p.alpha, p.seed)
+        val w = RandomWalks.runCounted(graph, seeds, p.alpha, p.seed,
+          preSpread = true)
         (w.endpoints, w.steps, w.walks)
     }
 
@@ -128,9 +132,50 @@ object Fora {
       pinnedEndpoints.select($"qid", $"vid", $"mass", $"slot"),
       keys = Seq("qid", "vid"), valueCol = "mass",
       saltFrom = $"slot", salts = 64)
-    var scores = push.state.select($"qid", $"vid", $"reserve".as("mass"))
-      .unionByName(walkMass.select($"qid", $"vid", $"mass"))
-      .groupBy($"qid", $"vid").agg(sum($"mass").as("score"))
+    // Estimate assembly (SURVEY.md O11): score = reserve + Σ walk mass.
+    // Fast path: the push state already sits partition-pinned as sorted
+    // primitive blocks — route ONLY the (much smaller, already-unique)
+    // walk mass through the state's own partitioner and merge with a
+    // two-pointer zipPartitions scan. The state never shuffles; each
+    // key's score is reserve + one mass value (a two-term IEEE add —
+    // order-independent), so the result is bitwise equal to the
+    // union+groupBy plan that runs when no block handle exists.
+    var scores = push.fastBlocks match {
+      case Some((blocks, bp)) if ckpt.isEmpty =>
+        val vp = new ForwardPush.VidPartitioner(bp)
+        val massKV = walkMass.select($"qid", $"vid", $"mass")
+          .as[(Long, Long, Double)].rdd
+          .map { case (q, v, mm) => ((q << 40) | v, mm) }
+          .partitionBy(vp)
+        val rows = blocks.zipPartitions(massKV) { (bIt, mIt) =>
+          val blk = if (bIt.hasNext) bIt.next()
+            else ForwardPush.StateBlock(Array.emptyLongArray,
+              Array.emptyDoubleArray, Array.emptyDoubleArray)
+          val mass = new graft.util.Prim.Rows3(64)
+          mIt.foreach { case (k, mm) => mass.append(k, mm, 0.0) }
+          if (mass.n > 1)
+            graft.util.Prim.sort3(mass.keys, mass.a, mass.b, 0, mass.n - 1)
+          new Iterator[ScoreRow] {
+            private var i = 0 // block cursor
+            private var j = 0 // mass cursor
+            def hasNext: Boolean = i < blk.keys.length || j < mass.n
+            def next(): ScoreRow = {
+              val takeBlock = j >= mass.n ||
+                (i < blk.keys.length && blk.keys(i) <= mass.keys(j))
+              val key = if (takeBlock) blk.keys(i) else mass.keys(j)
+              var s = 0.0
+              if (takeBlock) { s += blk.reserve(i); i += 1 }
+              if (j < mass.n && mass.keys(j) == key) { s += mass.a(j); j += 1 }
+              ScoreRow((key >>> 40).toInt, key & ForwardPush.VidMask, s)
+            }
+          }
+        }
+        spark.createDataset(rows).toDF()
+      case _ =>
+        push.state.select($"qid", $"vid", $"reserve".as("mass"))
+          .unionByName(walkMass.select($"qid", $"vid", $"mass"))
+          .groupBy($"qid", $"vid").agg(sum($"mass").as("score"))
+    }
 
     // per-partition WALK metrics manifest (north rule: checkpoints carry
     // push AND walk metrics; push supersteps only record pushes).

@@ -53,7 +53,13 @@ object ForwardPush {
   case class StateIn(qid: Int, vid: Long, reserve: Double, residue: Double)
 
   case class Result(state: DataFrame, // (qid, vid, reserve, residue)
-                    rsum: Double, supersteps: Int, pushes: Long)
+                    rsum: Double, supersteps: Int, pushes: Long,
+                    // fast-path handle: the partition-pinned state blocks
+                    // + their partition count, so downstream phases (the
+                    // FORA estimate merge) can zipPartitions against the
+                    // state instead of shuffling it (Fora.query)
+                    fastBlocks: Option[(org.apache.spark.rdd.RDD[StateBlock],
+                      Int)] = None)
 
   /** Compact state row for the broadcast-CSR fast path:
     * key = qid<<40 | vid (vid < 2^40, qid < 2^23). */
@@ -83,6 +89,30 @@ object ForwardPush {
     * qid<<40|vid: vids in [0, 2^40), qids in [0, 2^23). LinkGraph accepts
     * arbitrary longs (the 10^12-key plan is xxhash64-as-vid), so guard
     * here and fall back to the join path instead of corrupting keys. */
+  /** State-partition count for the packed fast paths (forward AND
+    * backward), content-derived from graph size — deliberately decoupled
+    * from graph.numParts (which sizes the CSR block tables for the join
+    * path) and NEVER from parallelism (the routing function fixes float
+    * summation order, so p must be a pure function of content for the
+    * two-level determinism gate). Two regimes:
+    *
+    *   - ≤ 2M edges: the whole cascade's working set is one task's —
+    *     distributing it buys nothing and every extra partition
+    *     multiplies per-round fixed cost (~32 supersteps × 2 stages of
+    *     near-empty tasks measured as the bulk of small-graph push
+    *     time). p = 1–4 lets the cascade drain locally in one chained
+    *     job.
+    *   - above: parallel regime. Floor at 16 (cores any executor tier
+    *     actually has — the r2 rule's ~1M edges/part gave the 4.8M-edge
+    *     hub graph 5 partitions, capping local[8] at 5 cores, push-phase
+    *     scaling efficiency 0.40), cap at 64, ~1M edges/part between
+    *     (34 parts at 16.5M edges measured ~200ms/round of fixed stage
+    *     cost; 16 parts halves it without starving an 8-core level).
+    */
+  private[ops] def fastStateParts(numEdges: Long): Int =
+    if (numEdges <= 2000000L) math.max(1, (numEdges / 500000L).toInt)
+    else math.max(16, math.min(64, (numEdges / 1000000L).toInt))
+
   private[ops] def packableKeys(graph: LinkGraph, sources: Map[Int, Long]): Boolean = {
     val (lo, hi) = graph.vidBounds
     lo >= 0 && hi < (1L << 40) &&
@@ -115,7 +145,8 @@ object ForwardPush {
       .map { case (q, v) => KRow((q.toLong << 40) | v, 0.0, 1.0) }
       .toDF()
     val fr = runFastK(graph, init, alpha, rmax, maxSupersteps, chainLen)
-    Result(unpackK(spark, fr.kstate), fr.rsum, fr.supersteps, fr.pushes)
+    Result(unpackK(spark, fr.kstate), fr.rsum, fr.supersteps, fr.pushes,
+      fr.blocks)
   }
 
   /** Packed fast-path state plus run stats; `kstate` feeds warm-started
@@ -124,7 +155,9 @@ object ForwardPush {
     * construction: any (reserve, residue) state satisfying the invariant
     * is a valid starting point). */
   case class FastResult(kstate: DataFrame, rsum: Double, supersteps: Int,
-                        pushes: Long)
+                        pushes: Long,
+                        blocks: Option[(org.apache.spark.rdd.RDD[StateBlock],
+                          Int)] = None)
 
   def unpackK(spark: org.apache.spark.sql.SparkSession, kstate: DataFrame)
       : DataFrame = {
@@ -138,7 +171,7 @@ object ForwardPush {
   /** Routes a packed key to its owning partition exactly like the
     * cascade's local/remote test: murmur3(vid, seed 42) mod p — a pure
     * function of content, never of physical parallelism. */
-  private final class VidPartitioner(p: Int)
+  private[ops] final class VidPartitioner(p: Int)
       extends org.apache.spark.Partitioner {
     override def numPartitions: Int = p
     override def getPartition(key: Any): Int =
@@ -152,7 +185,7 @@ object ForwardPush {
     * (deserialized MEMORY_ONLY) — no per-row boxing, no serialization,
     * no shuffle for the settled state, ever. ~24 B/row; a partition's
     * block at the 20M-edge fast-path ceiling is a few MB. */
-  private[ops] case class StateBlock(keys: Array[Long],
+  case class StateBlock(keys: Array[Long],
                                      reserve: Array[Double],
                                      residue: Array[Double])
 
@@ -176,20 +209,7 @@ object ForwardPush {
                chainLen: Int = 8): FastResult = {
     val spark = graph.spark
     import spark.implicits._
-    // Partition count for the STATE, content-derived from graph size —
-    // deliberately decoupled from graph.numParts (which sizes the CSR
-    // block tables for the join path) and NEVER from parallelism (the
-    // routing function fixes float summation order, so p must be a pure
-    // function of content for the two-level determinism gate). Two
-    // forces: wide partitioning multiplies per-stage scheduling (~32
-    // supersteps × 2 stages), narrow partitioning caps usable cores —
-    // the r2 rule (~1M edges/part) gave the 4.8M-edge hub graph 5
-    // partitions, so local[8] could never use more than 5 cores and
-    // push-phase scaling efficiency measured 0.40. Floor at 16 (cores
-    // any executor tier actually has), cap at 64, ~500k edges/part in
-    // between.
-    val p = math.max(16, math.min(64,
-      (graph.numEdges / 500000L).toInt + 1))
+    val p = fastStateParts(graph.numEdges)
     val sc = spark.sparkContext
     val csrB = graph.flatCsr
     val vp = new VidPartitioner(p)
@@ -250,7 +270,7 @@ object ForwardPush {
     }).toDF()
     val rsum = kstate.agg(coalesce(sum($"residue"), lit(0.0)))
       .as[Double].head()
-    FastResult(kstate, rsum, step, totalPushes)
+    FastResult(kstate, rsum, step, totalPushes, Some((blocks, p)))
   }
 
   /** Primitive-array cascade for one hash partition (fast path). The

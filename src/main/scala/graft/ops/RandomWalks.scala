@@ -51,11 +51,14 @@ object RandomWalks {
 
   /** As `run`, also reporting total walk-steps and walk count — feeds the
     * pushes+walks/sec bench metric (BASELINE.md §1). */
+  /** @param preSpread seeds are already evenly spread across partitions
+    *   (Fora's expandSlots repartitions at chunk granularity) — skip the
+    *   defensive re-balance and its full-width exchange */
   def runCounted(graph: LinkGraph, seeds: DataFrame, alpha: Double,
                  seed: Long, maxSteps: Int = 300,
-                 hopsPerEpoch: Int = 8): WalkResult = {
+                 hopsPerEpoch: Int = 8, preSpread: Boolean = false): WalkResult = {
     if (graph.numEdges <= ForwardPush.fastPathMaxEdges)
-      return runLocal(graph, seeds, alpha, seed, maxSteps)
+      return runLocal(graph, seeds, alpha, seed, maxSteps, preSpread)
     val spark = graph.spark
     val adj = graph.adj.toDF()
 
@@ -121,13 +124,16 @@ object RandomWalks {
     * `xxhash64(lit(seed), origin, slot, step, tag)`, so fast/join paths
     * and the FORA+ walk index all produce identical endpoints. */
   private def runLocal(graph: LinkGraph, seeds: DataFrame, alpha: Double,
-                       seed: Long, maxSteps: Int): WalkResult = {
+                       seed: Long, maxSteps: Int,
+                       preSpread: Boolean = false): WalkResult = {
     val spark = graph.spark
     import spark.implicits._
     import graft.util.Hashing
     val csrB = graph.flatCsr
-    val ends = seeds
-      .repartition(spark.sparkContext.defaultParallelism * 2)
+    val spread =
+      if (preSpread) seeds
+      else seeds.repartition(spark.sparkContext.defaultParallelism * 2)
+    val ends = spread
       .as[SeedRow]
       .mapPartitions { it =>
         val csr = csrB.value
