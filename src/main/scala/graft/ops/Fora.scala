@@ -64,7 +64,7 @@ object Fora {
     * walk each, billions of filtered rows dominated the whole walk
     * phase.) Slot values are identical to the direct explode, so
     * counter-RNG walks (origin, slot, step) are bitwise unchanged. */
-  private[ops] def expandSlots(rows: DataFrame): DataFrame = {
+  private[graft] def expandSlots(rows: DataFrame): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
     rows

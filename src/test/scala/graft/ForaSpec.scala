@@ -39,6 +39,23 @@ class ForaSpec extends SparkSpec {
     } finally g.unpersistAll()
   }
 
+  test("expandSlots emits exactly [0, nwalks) per row, nothing else") {
+    // the chunked expansion must be slot-for-slot identical to a direct
+    // explode(sequence(0, nwalks-1)) — counter-RNG walk identity depends
+    // on it; covers nwalks below, at, above and at multiples of the
+    // 4096 chunk size
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val counts = Seq(1L, 2L, 4095L, 4096L, 4097L, 8192L, 10000L)
+    val rows = counts.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("id", "nwalks")
+    val got = Fora.expandSlots(rows)
+      .select($"id", $"slot").as[(Long, Long)].collect().toSet
+    val want = counts.zipWithIndex
+      .flatMap { case (c, i) => (0L until c).map(s => (i.toLong, s)) }.toSet
+    assert(got == want)
+  }
+
   test("walk-index reproduces live-walk endpoints exactly") {
     val g = graph(edges)
     try {
