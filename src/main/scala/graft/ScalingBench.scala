@@ -48,17 +48,21 @@ object ScalingBench {
       java.nio.file.StandardOpenOption.APPEND)
   }
 
-  /** Hub-skew variant (N8 evidence): 5M-edge graph where 20% of all
-    * edges point at 10 hub vertices (~80k distinct in-edges each, vs
-    * ~25 for everyone else). PPR mass — and therefore walk endpoints —
+  /** Hub-skew variant (N8 evidence): ~18M-edge graph where 20% of all
+    * edges point at 10 hub vertices (~360k in-edges each, vs ~28 for
+    * everyone else). PPR mass — and therefore walk endpoints —
     * concentrates on the hubs, so the salted endpoint aggregation and
-    * AQE skew handling are on the hot path of this measurement. */
+    * AQE skew handling are on the hot path of this measurement. Sized
+    * just under the broadcast fast-path ceiling: the r2 5M-edge variant
+    * became fixed-cost-dominated (~6 s total at 8 cores) once the r3
+    * push/walk/merge optimizations landed, and a 6-second job measures
+    * the scheduler, not skew handling. */
   def runHub(spark: org.apache.spark.sql.SparkSession, cpus: Int,
              repeats: Int, outPath: String): Unit = {
     import spark.implicits._
     import graft.util.Hashing
-    val nH = 200000L
-    val edges = spark.range(0L, 5000000L, 1L, 64).map { k =>
+    val nH = 800000L
+    val edges = spark.range(0L, 18000000L, 1L, 64).map { k =>
       val src = java.lang.Math.floorMod(Hashing.h64(7L, k, 1L), nH)
       val dst =
         if (java.lang.Math.floorMod(Hashing.h64(7L, k, 2L), 5L) == 0L)

@@ -312,7 +312,7 @@ object ForwardPush {
     java.util.Arrays.fill(degIdx, -2)
     def idxOf(s: Int): Int = {
       if (degIdx(s) == -2) {
-        val r = csr.indexOf(store.keys(s) & VidMask)
+        val r = csr.fastIndexOf(store.keys(s) & VidMask)
         degIdx(s) = if (r >= 0) r else -1
       }
       degIdx(s)

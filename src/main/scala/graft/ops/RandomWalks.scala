@@ -142,7 +142,7 @@ object RandomWalks {
           var step = 0
           var done = false
           while (!done && step < maxSteps) {
-            val idx = csr.indexOf(cur)
+            val idx = csr.fastIndexOf(cur)
             if (idx < 0) done = true // dangling absorbs: stop here
             else if (Hashing.toUnit(Hashing.h64(42L, seed, sd.origin,
                 sd.slot, step.toLong, 0L)) < alpha) done = true
