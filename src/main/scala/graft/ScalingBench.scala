@@ -85,7 +85,10 @@ object ScalingBench {
     // split to reveal this)
     val runs = (0 until repeats).map { _ =>
       timed {
-        val q = Fora.query(g, qSources, Fora.Params(eps = 0.5, delta = 1e-3,
+        // δ=1e-4: at 1e-3 this graph's 16-query batch finished in ~6s
+        // at 8 cores — fixed-cost territory; δ sizes walk volume so the
+        // salted hub aggregation actually carries measurable mass
+        val q = Fora.query(g, qSources, Fora.Params(eps = 0.5, delta = 1e-4,
           pfail = 1e-3, seed = 42L))
         val s = q.scores.agg(org.apache.spark.sql.functions
           .sum(round($"score" * 1e6) / 1e6)).as[Double].head()
