@@ -32,10 +32,23 @@ object PageRank {
 
   case class Result(ranks: DataFrame, iterations: Int, delta: Double)
 
+  /** Dense-subgraph gate: below this vertex count the whole power
+    * iteration is one executor task's work (rank vector ≤ 512 KB;
+    * ~100 iterations × m edge-ops ≈ tens of ms at the gate) while the
+    * distributed path pays ~1 fixed-cost job per iteration — two orders
+    * of magnitude in wall time on a 1000-vertex community block. The
+    * per-iteration join+agg path below remains the unconditional plan
+    * for real graphs (its per-superstep cost scales with cores; see
+    * BENCH/BASELINE.md pagerank20). */
+  private[graft] var DenseMaxVertices = 65536L // var: specs force the join path
+
   def run(graph: LinkGraph, damping: Double = 0.85, tol: Double = 1e-8,
           maxIter: Int = 300, checkEvery: Int = 5,
           ckpt: Option[CheckpointStore] = None,
           resume: Boolean = false): Result = {
+    if (ckpt.isEmpty && !resume && graph.numVertices <= DenseMaxVertices &&
+        graph.numEdges <= ForwardPush.fastPathMaxEdges)
+      return runDense(graph, damping, tol, maxIter, checkEvery)
     val spark = graph.spark
     import spark.implicits._
     val n = graph.numVertices
@@ -88,6 +101,74 @@ object PageRank {
       }
     }
     Result(ranks.select($"vid", $"rank"), iter, delta)
+  }
+
+  /** Dense-subgraph path (see [[DenseMaxVertices]]): every iteration of
+    * the pinned semantics (dangling mass uniform over n; Σrank = 1) runs
+    * against the broadcast whole-graph CSR inside ONE executor task —
+    * one Spark job total instead of one per iteration. Same formula and
+    * same consecutive-iteration L∞ convergence test as the distributed
+    * plan, so the two agree to the convergence tolerance. */
+  private def runDense(graph: LinkGraph, damping: Double, tol: Double,
+                       maxIter: Int, checkEvery: Int): Result = {
+    val spark = graph.spark
+    import spark.implicits._
+    val verts = graph.vertices.collect().sorted // gated: ≤ 64k rows
+    val csrB = graph.flatCsr
+    val d = damping
+    val out = spark.range(0L, 1L, 1L, 1).mapPartitions { _ =>
+      val csr = csrB.value
+      val n = verts.length
+      var ranks = Array.fill(n)(1.0 / n)
+      // vertex i's CSR row (or -1 when dangling), resolved once
+      val csrIdx = new Array[Int](n)
+      var i = 0
+      while (i < n) { csrIdx(i) = csr.fastIndexOf(verts(i)); i += 1 }
+      // dst vid → dense index for contribution deposits
+      val vidIdx = new graft.util.Prim.LongSlotMap(n)
+      i = 0
+      while (i < n) { vidIdx.getOrInsert(verts(i), i); i += 1 }
+      var iter = 0
+      var delta = Double.MaxValue
+      while (delta > tol && iter < maxIter) {
+        val next = new Array[Double](n)
+        var csum = 0.0
+        i = 0
+        while (i < n) {
+          val ci = csrIdx(i)
+          if (ci >= 0) {
+            val deg = csr.degOf(ci)
+            val share = ranks(i) / deg
+            csum += ranks(i)
+            var e = csr.offsets(ci)
+            val end = csr.offsets(ci + 1)
+            while (e < end) {
+              next(vidIdx.get(csr.dsts(e))) += share
+              e += 1
+            }
+          }
+          i += 1
+        }
+        val base = (1.0 - d) / n + d * (1.0 - csum) / n
+        i = 0
+        while (i < n) { next(i) = base + d * next(i); i += 1 }
+        iter += 1
+        if (iter % checkEvery == 0 || iter >= maxIter) {
+          var mx = 0.0
+          i = 0
+          while (i < n) {
+            val df = math.abs(next(i) - ranks(i))
+            if (df > mx) mx = df
+            i += 1
+          }
+          delta = mx
+        }
+        ranks = next
+      }
+      Iterator.single((ranks, iter, delta))
+    }.collect().head
+    val rows = verts.zip(out._1).toSeq
+    Result(spark.createDataset(rows).toDF("vid", "rank"), out._2, out._3)
   }
 
   /** Personalized PageRank by power iteration (teleport α to source;

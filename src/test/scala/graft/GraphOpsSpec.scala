@@ -132,6 +132,30 @@ class PageRankSpec extends SparkSpec {
     checkPr(HandGraphs.twocomp, 5, damping = 0.8)
   }
 
+  test("dense one-task path equals distributed join path") {
+    // random-ish 60-vertex digraph with dangling vertices; both physical
+    // plans must agree to the convergence tolerance
+    val edges = (for {
+      u <- 0 until 60; v <- 0 until 60
+      if u != v && u % 7 != 6 && java.lang.Math.floorMod(
+        graft.util.Hashing.h64(11L, u.toLong * 60 + v, 5L), 9L) == 0L
+    } yield (u, v))
+    val g = graph(edges)
+    try {
+      val dense = scores(PageRank.run(g, 0.85, tol = 1e-10).ranks,
+        "vid", "rank")
+      val saved = PageRank.DenseMaxVertices
+      PageRank.DenseMaxVertices = 0 // force the join path
+      val dist =
+        try scores(PageRank.run(g, 0.85, tol = 1e-10).ranks, "vid", "rank")
+        finally PageRank.DenseMaxVertices = saved
+      assert(dense.keySet == dist.keySet)
+      dense.foreach { case (v, r) =>
+        assert(math.abs(r - dist(v)) < 1e-8, s"v=$v dense=$r dist=${dist(v)}")
+      }
+    } finally g.unpersistAll()
+  }
+
   test("personalized power iteration agrees with forward push") {
     val g = graph(HandGraphs.chain4)
     try {
