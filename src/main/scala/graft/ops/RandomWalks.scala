@@ -69,14 +69,20 @@ object RandomWalks {
       val joined = df.join(adj,
         when(col("done"), lit(-1L)).otherwise(col("cur")) === adj("src"),
         "left")
-      val stopDraw = u01(seed, col("origin"), col("slot"), lit(step), lit(0L))
+      // lit(step.toLong), NOT lit(step): xxhash64 hashes IntegerType with
+      // hashInt and LongType with hashLong — an Int literal here silently
+      // desynchronized this path's draws from the broadcast kernel and
+      // the walk index (both hash step as a long). Caught by the
+      // path-equivalence spec.
+      val stopDraw = u01(seed, col("origin"), col("slot"), lit(step.toLong),
+        lit(0L))
       val stops = col("done") || col("dsts").isNull || stopDraw < lit(alpha)
       joined.select(
         col("qid"), col("origin"), col("slot"),
         when(stops, col("cur"))
           .otherwise(element_at(col("dsts"),
             (pick(seed, size(col("dsts")), col("origin"), col("slot"),
-              lit(step), lit(1L)) + 1).cast("int"))).as("cur"),
+              lit(step.toLong), lit(1L)) + 1).cast("int"))).as("cur"),
         col("mass"),
         stops.as("done"),
         (col("nsteps") + when(col("done"), 0).otherwise(1)).as("nsteps"))

@@ -354,4 +354,35 @@ class PushPathEquivalenceSpec extends SparkSpec {
       assert(fast.rsum <= 2e-6 && join.rsum <= 2e-6)
     } finally g.unpersistAll()
   }
+
+  test("walk kernel and hop-join walk path produce identical endpoints") {
+    // the counter-RNG (origin, slot, step) makes the two execution
+    // shapes bitwise comparable: same draws regardless of whether a walk
+    // runs to termination in one task (broadcast CSR kernel) or hops
+    // epoch-by-epoch through adjacency joins (the beyond-memory shape)
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val edges = (for {
+      u <- 0 until 50; v <- 0 until 50
+      if u != v && u % 9 != 8 && java.lang.Math.floorMod(
+        graft.util.Hashing.h64(13L, u.toLong * 50 + v, 2L), 6L) == 0L
+    } yield (u, v))
+    val g = graph(edges)
+    try {
+      val seeds = (0 until 50).flatMap(v => (0 until 4).map(s =>
+        (0, v.toLong, s.toLong, v.toLong, 0.25))) // every vertex, 4 slots
+        .toDF("qid", "origin", "slot", "cur", "mass")
+      def ends(r: graft.ops.RandomWalks.WalkResult) =
+        r.endpoints.select("qid", "origin", "slot", "vid")
+          .as[(Int, Long, Long, Long)].collect().sorted.toSeq
+      val fast = graft.ops.RandomWalks.runCounted(g, seeds, 0.2, 42L)
+      val saved = graft.ops.ForwardPush.fastPathMaxEdges
+      graft.ops.ForwardPush.fastPathMaxEdges = 0 // force the hop-join path
+      val join =
+        try graft.ops.RandomWalks.runCounted(g, seeds, 0.2, 42L)
+        finally graft.ops.ForwardPush.fastPathMaxEdges = saved
+      assert(ends(fast) == ends(join))
+      assert(fast.walks == join.walks && fast.steps == join.steps)
+    } finally g.unpersistAll()
+  }
 }
