@@ -30,7 +30,51 @@ object ConnectedComponents {
 
   case class Result(components: DataFrame, rounds: Int) // (vid, component)
 
+  /** Dense-subgraph gate (the Triangles/PageRank pattern): below this
+    * undirected edge count the whole problem is one task's union-find
+    * (O(m·α(n)) ≈ ms) while the star contraction pays ~2·log²n rounds
+    * of join fixed cost. Labels are identical by construction — union
+    * always attaches the larger root under the smaller, so every final
+    * root is its component's minimum vid, exactly the contraction's
+    * fixpoint. The contraction remains the unconditional web-scale plan. */
+  private[graft] var DenseMaxUndEdges = 4000000L
+
   def run(graph: LinkGraph, maxRounds: Int = 60): Result = {
+    if (graph.numEdges <= DenseMaxUndEdges) return runDense(graph)
+    runStars(graph, maxRounds)
+  }
+
+  private def runDense(graph: LinkGraph): Result = {
+    val spark = graph.spark
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val bcE = sc.broadcast(graph.undirectedEdges.collect()) // gated O(m)
+    val bcV = sc.broadcast(graph.vertices.collect().sorted)
+    val rows = spark.range(0L, 1L, 1L, 1).mapPartitions { _ =>
+      val vs = bcV.value
+      val idx = new graft.util.Prim.LongSlotMap(vs.length)
+      var i = 0
+      while (i < vs.length) { idx.getOrInsert(vs(i), i); i += 1 }
+      val parent = Array.tabulate(vs.length)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      bcE.value.foreach { e =>
+        val a = find(idx.get(e.src)); val b = find(idx.get(e.dst))
+        // union-by-min: vs is sorted, so root index order == vid order
+        if (a < b) parent(b) = a else if (b < a) parent(a) = b
+      }
+      vs.indices.iterator.map(i2 => (vs(i2), vs(find(i2))))
+    }.toDF("vid", "component").localCheckpoint(true)
+    bcE.destroy(); bcV.destroy()
+    Result(rows, 1)
+  }
+
+  private def runStars(graph: LinkGraph, maxRounds: Int): Result = {
     val spark = graph.spark
     import spark.implicits._
 

@@ -174,6 +174,26 @@ class PageRankSpec extends SparkSpec {
 class ComponentsSpec extends SparkSpec {
   import TestGraphs._
 
+  test("dense union-find path equals star-contraction path") {
+    // sparse random graph with several components and isolated vertices
+    val edges = (for {
+      u <- 0 until 120; v <- 0 until 120
+      if u != v && java.lang.Math.floorMod(
+        graft.util.Hashing.h64(19L, u.toLong * 120 + v, 3L), 97L) == 0L
+    } yield (u, v))
+    val g = graph(edges)
+    try {
+      def labels() = ConnectedComponents.run(g).components.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dense = labels() // gate routes dense
+      val saved = ConnectedComponents.DenseMaxUndEdges
+      ConnectedComponents.DenseMaxUndEdges = 0 // force star contraction
+      val stars = try labels()
+        finally ConnectedComponents.DenseMaxUndEdges = saved
+      assert(dense == stars)
+    } finally g.unpersistAll()
+  }
+
   test("two components get min labels") {
     val g = graph(HandGraphs.twocomp)
     try {
