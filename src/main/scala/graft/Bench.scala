@@ -10,6 +10,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Pay the shared graph build ONCE, attributed explicitly (VERDICT r3
+    // "what's wrong" #4: whichever query first touched derivedGraph paid
+    // ~12 s of table materialization, so per-query numbers lied — e.g.
+    // r3's "g_pagerank 12.4s" was mostly build). Counted into the total
+    // below so round-over-round totals stay comparable.
+    val tBuild0 = System.nanoTime()
+    val graphBuildSec = try {
+      val g = SparkEntry.derivedGraph(spark, sfDir)
+      g.numEdges; g.numVertices; g.outDegrees.count()
+      g.undirectedEdges.count(); g.flatCsr
+      val sg = SparkEntry.sparseGraph(spark, sfDir)
+      sg.numEdges; sg.numVertices
+      (System.nanoTime() - tBuild0) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] graph build FAILED: ${e.getMessage}")
+      -1.0
+    }
     // a crashed query records -1.0, never a fake timing (round-1 flaw:
     // swallowed exceptions were indistinguishable from fast queries)
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -29,12 +46,14 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.values.count(_ < 0)
+    val failed = results.values.count(_ < 0) +
+      (if (graphBuildSec < 0) 1 else 0)
     // a partial total looks BETTER than a passing run (crashed queries
     // contribute 0s) — flag failures in the summary so it can't pass
-    // silently as an improvement
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    // silently as an improvement. graph_build_sec is the shared
+    // derived-graph table build, included in the total.
+    val total = results.values.filter(_ >= 0).sum + math.max(graphBuildSec, 0.0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"graph_build_sec":$graphBuildSec,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

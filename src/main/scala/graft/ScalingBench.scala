@@ -100,11 +100,18 @@ object ScalingBench {
     // the scores action) — the residual that locates where hub-skew cost
     // lands (VERDICT r2 "what's missing" #2: the 0.61 efficiency had no
     // phase breakdown)
+    // per-epoch push series (VERDICT r3 #2): each entry is one
+    // chainLen-round job group; a flat series at the high level whose
+    // floor matches the low level's = per-round fixed cost; a skewed
+    // series (one long epoch) = straggler/skew. push_tail is the
+    // kstate+rsum assembly after the loop (also inside t_push).
+    val epochs = fq.pushEpochSecs.map(e => f"$e%.3f").mkString("[", ",", "]")
     val json =
       s"""{"cpus":$cpus,"n":${g.numVertices},"m":${g.numEdges},""" +
         s""""repeats":$repeats,"t_fora_hub16":$t,""" +
         s""""t_push":${fq.tPushSec},"t_walk":${fq.tWalkSec},""" +
         s""""t_agg":${t - fq.tPushSec - fq.tWalkSec},""" +
+        s""""push_epochs":$epochs,"push_tail":${fq.pushTailSec},""" +
         s""""pushes":${fq.pushes},"walks":${fq.walks},""" +
         s""""walk_steps":${fq.walkSteps},""" +
         s""""push_supersteps":${fq.pushSupersteps},""" +
@@ -132,12 +139,18 @@ object ScalingBench {
     // --- ingest (scale path: hash vids — no global-sort dictionary, no
     // dict join; the round-1 sorted-dense-id path serialized ingest on a
     // single window task) ---
+    // per-phase ingest split (VERDICT r3 #6: ingest eff 0.51 had no
+    // breakdown): links = extraction flatMap + parquet write; audit =
+    // url distinct + per-salt collision scan; dict/edges = the two
+    // table writes; csr = adjacency + CSR block build
+    val ingestPhases = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val ((graph, dict), tIngest) = timed {
       val pages = sources.SyntheticPages.generate(spark, nPages, seed = 42L,
         parts = math.max(cpus * 2, 16))
       val (g, d) = LinkGraph.fromPagesHashVids(spark, pages.toDF(),
-        numParts = 32)
-      g.csr.count() // include CSR build in ingest
+        numParts = 32, onPhase = (n, s) => ingestPhases(n) = s)
+      val (_, tCsr) = timed { g.csr.count() } // include CSR build in ingest
+      ingestPhases("csr") = tCsr
       (g, d)
     }
     val n = graph.numVertices
@@ -204,8 +217,12 @@ object ScalingBench {
     // This is the regime the FORA+ precomputed-walk index exists for; at
     // the balanced optimum above, walks are ~15% of query time and the
     // index can win at most that (VERDICT r2: "built, correct, barely
-    // helps" needed either a regime where it shines or an analysis) ---
-    val pWalk = foraP.copy(rmaxScale = 10.0)
+    // helps" needed either a regime where it shines or an analysis).
+    // δ is 5× finer than the balanced workload (VERDICT r3 #7: at
+    // δ=3e-4 the whole variant ran ~6 s at 8 cores — scheduler fixed
+    // costs, not engine work; 6e-5 sizes the high level ≥ ~30 s so the
+    // printed efficiency measures the engine) ---
+    val pWalk = foraP.copy(delta = 6e-5, rmaxScale = 10.0)
     val whRuns = (0 until repeats).map { _ =>
       timed {
         val q = Fora.query(graph, qSources, pWalk)
@@ -222,17 +239,25 @@ object ScalingBench {
     }
     val ((_, whIdxSum), tWhIdx) = whIdxRuns.minBy(_._2)
 
+    // pagerank keys OMITTED entirely in fora-only mode (ADVICE r3 #1):
+    // NaN is invalid strict JSON, and present-but-NaN keys defeat
+    // compose_scaling.py's key-presence guards, poisoning the composed
+    // BASELINE.md when a fora-only line lands last in the shared file
+    val prJson = if (foraOnly) "" else
+      s""""t_pagerank20":$tPr,"pr_edges_per_sec":${20.0 * m / tPr},"""
+    val prSumJson = if (foraOnly) "" else s""""checksum_pr":$prSum,"""
+    val phaseJson = ingestPhases
+      .map { case (k, v) => s""""t_ingest_$k":$v""" }.mkString(",")
     val json =
       s"""{"cpus":$cpus,"pages":$nPages,"n":$n,"m":$m,"repeats":$repeats,""" +
-        s""""t_ingest":$tIngest,"t_pagerank20":$tPr,""" +
-        s""""pr_edges_per_sec":${20.0 * m / tPr},""" +
+        s""""t_ingest":$tIngest,$phaseJson,""" + prJson +
         s""""t_fora64":$tFora,"t_push":${fq.tPushSec},"t_walk":${fq.tWalkSec},"t_agg":${tFora - fq.tPushSec - fq.tWalkSec},"push_supersteps":${fq.pushSupersteps},"sspr_qps":$qps,"ops_per_sec":$opsPerSec,""" +
         s""""pushes":${fq.pushes},"walks":${fq.walks},"walk_steps":${fq.walkSteps},""" +
         s""""t_idx_build":$tIdxBuild,"t_fora64_idx":$tForaIdx,"sspr_qps_idx":$qpsIdx,""" +
         s""""t_fora64_wh":$tWh,"t_wh_push":${fqW.tPushSec},"t_wh_walk":${fqW.tWalkSec},""" +
         s""""t_idx_wh_build":$tIdxWBuild,"t_fora64_wh_idx":$tWhIdx,""" +
         s""""sspr_qps_wh":${64.0 / tWh},"sspr_qps_wh_idx":${64.0 / tWhIdx},""" +
-        s""""checksum_pr":$prSum,"checksum_fora":$foraSum,"checksum_fora_idx":$foraIdxSum,""" +
+        prSumJson + s""""checksum_fora":$foraSum,"checksum_fora_idx":$foraIdxSum,""" +
         s""""checksum_wh":$whSum,"checksum_wh_idx":$whIdxSum}"""
     println("SCALING " + json)
     appendLine(outPath, json)

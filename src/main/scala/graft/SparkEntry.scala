@@ -88,6 +88,64 @@ object SparkEntry {
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
+  // --- scale-plan variants (VERDICT r3 next-round #1) ----------------------
+
+  /** Temporarily zero the small-graph plan gates so the registered
+    * join/stars variant queries execute the beyond-memory physical plans
+    * (runJoin / hop-join walks / cogroup backward / star contraction /
+    * distributed PageRank) against the SAME oracles as the gated queries.
+    * Safe to scope around the operator call: every iterative operator
+    * runs its driver loop eagerly (each superstep is an action), and the
+    * DataFrame it returns only has shallow lazy work left (scans of
+    * checkpointed state), so the gate values no longer matter once the
+    * call returns. Synchronized because the gates are process-global. */
+  private def forcingScalePlans[A](body: => A): A = synchronized {
+    val savedFast = ForwardPush.fastPathMaxEdges
+    val savedPr = PageRank.DenseMaxVertices
+    val savedCc = ConnectedComponents.DenseMaxUndEdges
+    ForwardPush.fastPathMaxEdges = 0L
+    PageRank.DenseMaxVertices = 0L
+    ConnectedComponents.DenseMaxUndEdges = 0L
+    try body finally {
+      ForwardPush.fastPathMaxEdges = savedFast
+      PageRank.DenseMaxVertices = savedPr
+      ConnectedComponents.DenseMaxUndEdges = savedCc
+    }
+  }
+
+  /** Sparser pseudo-random derived edge table for the wedge-join
+    * triangle variant: the dense 1000-vid table has ~50M triangles at
+    * sf0.1, which the wedge plan would materialize as rows to answer an
+    * aggregate — the bitset gate exists precisely for that shape. The
+    * wedge plan's home turf is a sparse web-like graph, so the variant
+    * runs on one. `l_orderkey <= 6000` keeps the row sample (and the
+    * wedge-join cost) ~constant across scale factors while mod 800
+    * keeps enough density for nonzero triangles even at sf0.001
+    * (measured: 15/1024/997 triangles at sf0.001/0.01/0.1). Same
+    * arithmetic derivation in DuckDB. */
+  def sparseEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    li.where(col("l_orderkey") <= 6000)
+      .select(((col("l_partkey") * 7919 + col("l_suppkey")) % 800).as("src"),
+        ((col("l_suppkey") * 104729 + col("l_partkey")) % 800).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** SQL text of the sparse derived edge table (DuckDB). */
+  val sparseEdgesSql: String =
+    """SELECT DISTINCT (l_partkey*7919 + l_suppkey) % 800 AS src,
+      |  (l_suppkey*104729 + l_partkey) % 800 AS dst
+      |FROM lineitem
+      |WHERE l_orderkey <= 6000
+      |  AND (l_partkey*7919 + l_suppkey) % 800
+      |   <> (l_suppkey*104729 + l_partkey) % 800""".stripMargin
+
+  private val sparseGraphCache = TrieMap.empty[String, LinkGraph]
+  def sparseGraph(spark: SparkSession, sfDir: String): LinkGraph =
+    sparseGraphCache.getOrElseUpdate(sfDir,
+      LinkGraph.fromEdges(spark, sparseEdges(spark, sfDir), numParts = 16))
+
   // --- unrolled-iteration oracle SQL builders (DuckDB chained CTEs) --------
 
   /** Shared CTE chain for the PPR oracle: `iters` unrolled power-iteration
@@ -134,6 +192,42 @@ object SparkEntry {
     pprCtes(source, alpha, iters) +
       s"""\nSELECT vid, round(score, 6) AS score FROM it$iters
          |ORDER BY score DESC, vid LIMIT $k""".stripMargin
+
+  /** Top-k SET oracle (vids only) — for the ladder mode, whose set is
+    * provably exact at separation while its scores are only bounds. */
+  def topkVidsOracleSql(source: Long, alpha: Double, iters: Int,
+                        k: Int): String =
+    pprCtes(source, alpha, iters) +
+      s"""\nSELECT vid FROM (SELECT vid FROM it$iters
+         |ORDER BY score DESC, vid LIMIT $k)""".stripMargin
+
+  /** Per-vertex triangle-count oracle over an arbitrary derived edge
+    * table (three-way self-join on the canonicalized undirected set). */
+  def triPerVertexSql(eSql: String): String =
+    s"""WITH u AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
+       |           FROM ($eSql)),
+       |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |      FROM u e1 JOIN u e2 ON e1.b = e2.a JOIN u e3
+       |        ON e3.a = e1.a AND e3.b = e2.b),
+       |c AS (SELECT x AS vid FROM t UNION ALL SELECT y FROM t
+       |      UNION ALL SELECT z FROM t)
+       |SELECT vid, count(*) AS triangles FROM c GROUP BY vid""".stripMargin
+
+  /** Exact-CC oracle (recursive reachability → min label) over an
+    * arbitrary derived edge table; shared by g_cc and g_cc_stars. */
+  def ccOracleSql(eSql: String): String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT least(src,dst) AS a, greatest(src,dst) AS b FROM ($eSql)
+       |), sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+       |v AS (SELECT DISTINCT a AS vid FROM sym
+       |      UNION SELECT DISTINCT src FROM ($eSql)
+       |      UNION SELECT DISTINCT dst FROM ($eSql)),
+       |reach(vid, r) AS (
+       |  SELECT vid, vid FROM v
+       |  UNION
+       |  SELECT reach.vid, sym.b FROM reach JOIN sym ON reach.r = sym.a
+       |)
+       |SELECT vid, min(r) AS component FROM reach GROUP BY vid""".stripMargin
 
   /** BiPPR pair oracle: the forward CTE's value at the target vertex. */
   def bipprOracleSql(source: Long, target: Long, alpha: Double,
@@ -346,6 +440,80 @@ object SparkEntry {
     "g_lpa" -> ((s, d) =>
       LabelPropagation.run(derivedGraph(s, d), rounds = 5)),
 
+    // -- scale-plan variants: the SAME queries routed through the
+    // beyond-memory physical plans (VERDICT r3 #1 — the r3 gated plans
+    // left every green graph row certifying the small-graph path; these
+    // rows put runJoin / distributed PageRank / star contraction /
+    // hop-join walks / the wedge join back on the DuckDB board) --
+
+    "g_ppr_join" -> ((s, d) => {
+      val g = derivedGraph(s, d)
+      val res = forcingScalePlans {
+        ForwardPush.deterministicPpr(g, Map(0 -> 1L), alpha = 0.2,
+          tol = 1e-9)
+      }
+      g.vertices.toDF("vid")
+        .join(res.state.select(col("vid"), col("reserve")), Seq("vid"), "left")
+        .select(col("vid"),
+          round(coalesce(col("reserve"), lit(0.0)), 6).as("ppr"))
+    }),
+
+    // fixed 40 iterations on BOTH sides (engine tol=0 ⇒ exactly maxIter
+    // steps; oracle CTE unrolled 40×): iteration-for-iteration the same
+    // function, so partial iterates compare exactly at 6 dp without
+    // paying ~95 distributed jobs for full 1e-9 convergence
+    "g_pagerank_join" -> ((s, d) => {
+      val g = derivedGraph(s, d)
+      val pr = forcingScalePlans {
+        PageRank.run(g, damping = 0.8, tol = 0.0, maxIter = 40,
+          checkEvery = 40)
+      }
+      pr.ranks.select(col("vid"), round(col("rank"), 6).as("pagerank"))
+    }),
+
+    "g_cc_stars" -> ((s, d) =>
+      forcingScalePlans { ConnectedComponents.run(derivedGraph(s, d)) }
+        .components.select(col("vid"), col("component"))),
+
+    // wedge-join triangles on the SPARSE derived graph (the plan's design
+    // regime — see sparseEdges); precomputed=Some(...) bypasses the
+    // dense-bitset gate so the oracled plan IS the oriented wedge join
+    "g_tri_wedge" -> ((s, d) => {
+      val g = sparseGraph(s, d)
+      Triangles.perVertex(g, precomputed = Some(Triangles.triangles(g)))
+        .where(col("triangles") > 0)
+        .select(col("vid"), col("triangles"))
+    }),
+
+    "b_push_join" -> ((s, d) => {
+      val g = derivedGraph(s, d)
+      val res = forcingScalePlans {
+        BackwardPush.run(g, Map(0 -> 1L), alpha = 0.2, rmax = 1e-11)
+      }
+      g.vertices.toDF("vid")
+        .join(res.state.select(col("vid"), col("reserve")), Seq("vid"), "left")
+        .select(col("vid"),
+          round(coalesce(col("reserve"), lit(0.0)), 6).as("bppr"))
+    }),
+
+    // Monte-Carlo through the hop-join walk path (the beyond-memory walk
+    // shape), pinned by the same Σ-mass=1 invariant oracle as g_mc_mass
+    "g_mc_mass_join" -> ((s, d) => forcingScalePlans {
+      Fora.montecarlo(derivedGraph(s, d), Map(0 -> 1L),
+        Fora.Params(eps = 0.5, delta = 0.01))
+        .groupBy(col("qid"))
+        .agg(round(sum(col("score")), 6).as("mass"))
+    }),
+
+    // the refinement LADDER (the mode a user actually runs — VERDICT r3
+    // #5): warm-started pushes at ×16-finer rmax until the kth lower
+    // bound separates. The top-k SET is provably exact at separation
+    // (π(v) ≤ reserve(v)+rsum < kth reserve ≤ π(kth) for any outsider),
+    // so the oracle pins the vid set; internal order/scores are not
+    // separation-guaranteed and are not reported
+    "g_fora_topk_ladder" -> ((s, d) =>
+      Fora.topk(derivedGraph(s, d), 1L, k = 20).select(col("vid"))),
+
     // -- backward push / BiPPR (SURVEY.md O15/O16) --
 
     // rmax=1e-11: estimate error must sit well below the oracle's own
@@ -459,11 +627,17 @@ object SparkEntry {
     "d_neardup_audit" -> ((s, d) => {
       // n_exact: brute-force count of sampled pairs at token-Jaccard
       //   >= 0.8 — fully replicated in the DuckDB oracle.
-      // n_false_pos: LSH pairs below threshold — 0 by construction
-      //   (banded candidates are exact-verified before emission).
-      // n_missed: exact pairs the 8-band/4-row MinHash LSH did not
-      //   surface — probabilistic in general, deterministic here
-      //   (signatures are seeded xxhash64 of fixed data), observed 0.
+      // n_false_pos: LSH pairs below threshold — 0 is a THEOREM (banded
+      //   candidates are exact-verified before emission), so it stays
+      //   pinned.
+      // Recall, by contrast, is NOT a theorem: banded MinHash at J=0.8
+      //   hits ~1−(1−J^4)^8 ≈ 0.985 per pair, so a small corpus is
+      //   EXPECTED to miss the odd pair (observed: 1 miss at sf0.001,
+      //   0 at sf0.01 — exactly the data-dependence ADVICE r3 #3
+      //   flagged). The audit therefore pins a TOLERANCE contract:
+      //   n_missed ≤ miss_budget = max(1, 2% of n_exact), with the
+      //   budget derived from the per-pair miss rate and computed from
+      //   n_exact identically on both sides.
       val sample = docs(s, d).where(col("doc_id") % 10 === 0)
       val lsh = graft.text.Dedup.nearDuplicates(sample, threshold = 0.8)
         .select(col("a"), col("b"))
@@ -474,6 +648,11 @@ object SparkEntry {
           .agg(count(lit(1)).cast("long").as("n_false_pos")))
         .crossJoin(exact.except(lsh)
           .agg(count(lit(1)).cast("long").as("n_missed")))
+        .select(col("n_exact"), col("n_false_pos"),
+          greatest(lit(1L), floor(col("n_exact") * 0.02).cast("long"))
+            .as("miss_budget"),
+          (col("n_missed") <= greatest(lit(1L),
+            floor(col("n_exact") * 0.02).cast("long"))).as("miss_ok"))
     }),
 
     "d_simhash_audit" -> ((s, d) => {
@@ -510,6 +689,29 @@ object SparkEntry {
       graft.text.Ann.lshTopK(emb,
         emb.where(col("vec_id") < 3).select(col("vec_id").as("qid"),
           col("embedding")), k = 10)
+    }),
+
+    // LSH-vs-brute-force audit at the design point (VERDICT r3 #4; the
+    // e_cos_neardup planted-pair pattern): queries are 3 planted base
+    // vectors whose partners sit at cos ≈ 0.998, where one 8-bit table
+    // collides w.p. ≈ 0.85, so missing the partner across 8 tables has
+    // probability < 3e-7 — and the outcome is deterministic anyway
+    // (fixed hyperplanes, fixed corpus; observed: found). The query
+    // vector itself shares every bucket (identical signature), so the
+    // LSH top-2 rows equal the brute-force top-2 rows exactly; DuckDB
+    // recomputes n_bf by brute force and pins both discrepancies to 0.
+    "e_ann_lsh_audit" -> ((s, d) => {
+      val corpus = derivedNearDupEmbeddings(s, d)
+      val queries = corpus
+        .where(col("vec_id") % 10 === 0 && col("vec_id") < 30)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val lsh = graft.text.Ann.lshTopK(corpus, queries, k = 2)
+      val bf = graft.text.Ann.bruteForceTopK(corpus, queries, k = 2)
+      bf.agg(count(lit(1)).cast("long").as("n_bf"))
+        .crossJoin(lsh.except(bf)
+          .agg(count(lit(1)).cast("long").as("n_lsh_only")))
+        .crossJoin(bf.except(lsh)
+          .agg(count(lit(1)).cast("long").as("n_bf_only")))
     }),
 
     "e_ann_ivf" -> ((s, d) => {
@@ -625,29 +827,13 @@ object SparkEntry {
          |FROM u e1 JOIN u e2 ON e1.b = e2.a JOIN u e3
          |  ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
 
-    "g_tri_pervertex" ->
-      s"""WITH u AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
-         |           FROM ($edgesSql)),
-         |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
-         |      FROM u e1 JOIN u e2 ON e1.b = e2.a JOIN u e3
-         |        ON e3.a = e1.a AND e3.b = e2.b),
-         |c AS (SELECT x AS vid FROM t UNION ALL SELECT y FROM t
-         |      UNION ALL SELECT z FROM t)
-         |SELECT vid, count(*) AS triangles FROM c GROUP BY vid""".stripMargin,
+    "g_tri_pervertex" -> triPerVertexSql(edgesSql),
+    // same oracle text, different physical plan on the Spark side
+    // (oriented wedge join over the sparse graph vs gated bitset)
+    "g_tri_wedge" -> triPerVertexSql(sparseEdgesSql),
 
-    "g_cc" ->
-      s"""WITH RECURSIVE e AS (
-         |  SELECT least(src,dst) AS a, greatest(src,dst) AS b FROM ($edgesSql)
-         |), sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
-         |v AS (SELECT DISTINCT a AS vid FROM sym
-         |      UNION SELECT DISTINCT src FROM ($edgesSql)
-         |      UNION SELECT DISTINCT dst FROM ($edgesSql)),
-         |reach(vid, r) AS (
-         |  SELECT vid, vid FROM v
-         |  UNION
-         |  SELECT reach.vid, sym.b FROM reach JOIN sym ON reach.r = sym.a
-         |)
-         |SELECT vid, min(r) AS component FROM reach GROUP BY vid""".stripMargin,
+    "g_cc" -> ccOracleSql(edgesSql),
+    "g_cc_stars" -> ccOracleSql(edgesSql),
 
     "g_cc_sizes" ->
       s"""WITH RECURSIVE e AS (
@@ -672,6 +858,17 @@ object SparkEntry {
     "g_fora_topk" -> topkOracleSql(source = 1L, alpha = 0.2, iters = 100,
       k = 20),
     "g_lpa" -> lpaOracleSql(rounds = 5),
+
+    // scale-plan variants: g_ppr_join/b_push_join reuse their gated
+    // twins' oracle text VERBATIM; g_pagerank_join pins exactly 40
+    // iterations on both sides; the ladder pins the provably-exact set
+    "g_ppr_join" -> pprOracleSql(source = 1L, alpha = 0.2, iters = 100),
+    "g_pagerank_join" -> pagerankOracleSql(damping = 0.8, iters = 40),
+    "b_push_join" -> backwardOracleSql(target = 1L, alpha = 0.2, iters = 140),
+    "g_fora_topk_ladder" -> topkVidsOracleSql(source = 1L, alpha = 0.2,
+      iters = 100, k = 20),
+    "g_mc_mass_join" ->
+      """SELECT CAST(0 AS INTEGER) AS qid, CAST(1.0 AS DOUBLE) AS mass""",
 
     // mass-conservation invariants: FORA deposits exactly the pushed-out
     // residual mass, so Σ_t π̂(s,t) = 1 per query to fp accumulation noise
@@ -785,8 +982,11 @@ object SparkEntry {
         |    AS n_tokens_re
         |FROM documents""".stripMargin,
 
-    // n_exact recomputed from raw text; the two discrepancy counts are
-    // pinned (see the query registrations for why 0 is the contract)
+    // n_exact recomputed from raw text; n_false_pos=0 is a theorem
+    // (per-pair exact verification); recall is pinned as a tolerance
+    // contract (miss_ok with a 2%-of-n_exact budget, floor 1) because
+    // banded-MinHash recall is probabilistic, not guaranteed (ADVICE r3
+    // #3 — and indeed sf0.001 misses exactly one pair)
     "d_neardup_audit" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
         |t AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' ')))
@@ -801,7 +1001,9 @@ object SparkEntry {
         |             / (sa.sz + sb.sz - cm.common) >= 0.8)
         |SELECT CAST(count(*) AS BIGINT) AS n_exact,
         |  CAST(0 AS BIGINT) AS n_false_pos,
-        |  CAST(0 AS BIGINT) AS n_missed FROM ex""".stripMargin,
+        |  greatest(CAST(1 AS BIGINT),
+        |    CAST(floor(count(*) * 0.02) AS BIGINT)) AS miss_budget,
+        |  TRUE AS miss_ok FROM ex""".stripMargin,
 
     "d_simhash_audit" ->
       """SELECT CAST(0 AS BIGINT) AS n_extra,
@@ -850,6 +1052,29 @@ object SparkEntry {
          |      FROM c x JOIN c y ON x.vec_id < y.vec_id)
          |SELECT a, b, round(cos, 6) AS cos FROM p
          |WHERE cos >= 0.9""".stripMargin,
+
+    // n_bf recomputed by brute force over the planted corpus; the two
+    // discrepancy counts are pinned to 0 (see the query registration:
+    // partner cos ≈ 0.998 ⇒ per-pair LSH miss probability < 3e-7, and
+    // the outcome is deterministic for the fixed corpus+hyperplanes —
+    // observed 0 at every shipped sf, an e_cos_neardup-style contract,
+    // not a theorem)
+    "e_ann_lsh_audit" ->
+      s"""WITH c AS ($nearDupEmbSql),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM c
+         |      WHERE vec_id % 10 = 0 AND vec_id < 30),
+         |s AS (SELECT q.qid, c.vec_id,
+         |        list_dot_product(c.v, q.qv) /
+         |        (greatest(sqrt(list_dot_product(c.v, c.v)), 1e-12) *
+         |         greatest(sqrt(list_dot_product(q.qv, q.qv)), 1e-12)) AS cos
+         |      FROM c CROSS JOIN q),
+         |r AS (SELECT qid, vec_id, cos, row_number() OVER
+         |        (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+         |      FROM s)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM r WHERE rank <= 2)
+         |    AS n_bf,
+         |  CAST(0 AS BIGINT) AS n_lsh_only,
+         |  CAST(0 AS BIGINT) AS n_bf_only""".stripMargin,
 
     "e_ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv

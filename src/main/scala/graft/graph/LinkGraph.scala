@@ -232,40 +232,62 @@ object LinkGraph {
     * gives way to the CSR-join path, which takes any long).
     *
     * Returns the graph plus the (vid, url) dictionary for reporting. */
+  /** @param onPhase optional wall-time sink per ingest phase
+    *   ("links" extraction+write, "audit" url-distinct+collision scan,
+    *   "dict" dictionary write, "edges" edge-table distinct+write+count)
+    *   — feeds the scaling bench's ingest phase split (VERDICT r3 #6). */
   def fromPagesHashVids(spark: SparkSession, pages: DataFrame, numParts: Int,
-                        storageDir: String = tempDir(), maxSalts: Int = 16)
+                        storageDir: String = tempDir(), maxSalts: Int = 16,
+                        onPhase: (String, Double) => Unit = (_, _) => ())
       : (LinkGraph, Dataset[VertexUrl]) = {
     import spark.implicits._
-    val links = extractLinkRows(spark, pages)
-    links.write.mode("overwrite").parquet(s"$storageDir/links")
-    val linksT = spark.read.parquet(s"$storageDir/links").as[LinkRow]
+    def phase[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      onPhase(name, (System.nanoTime() - t0) / 1e9)
+      r
+    }
+    val linksT = phase("links") {
+      val links = extractLinkRows(spark, pages)
+      links.write.mode("overwrite").parquet(s"$storageDir/links")
+      spark.read.parquet(s"$storageDir/links").as[LinkRow]
+    }
     def hvid(c: org.apache.spark.sql.Column, salt: Int) =
       xxhash64(lit(salt.toLong), c).bitwiseAND(lit(HashVidMask))
 
-    val urls = linksT.select($"src_url".as("url"))
-      .union(linksT.select($"dst_url".as("url"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    urls.count()
-    var salt = 0
-    var done = false
-    while (!done && salt < maxSalts) {
-      val collided = urls.select(hvid($"url", salt).as("vid"))
-        .groupBy($"vid").agg(count(lit(1)).as("c")).where($"c" > 1)
-        .limit(1).count()
-      if (collided == 0) done = true else salt += 1
+    val (urls, salt) = phase("audit") {
+      val u = linksT.select($"src_url".as("url"))
+        .union(linksT.select($"dst_url".as("url"))).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      u.count()
+      var s = 0
+      var done = false
+      while (!done && s < maxSalts) {
+        val collided = u.select(hvid($"url", s).as("vid"))
+          .groupBy($"vid").agg(count(lit(1)).as("c")).where($"c" > 1)
+          .limit(1).count()
+        if (collided == 0) done = true else s += 1
+      }
+      require(done, s"hash-vid collision at every salt < $maxSalts — " +
+        "widen the vid domain or use LinkGraph.fromPages")
+      (u, s)
     }
-    require(done, s"hash-vid collision at every salt < $maxSalts — " +
-      "widen the vid domain or use LinkGraph.fromPages")
 
-    urls.select(hvid($"url", salt).as("vid"), $"url")
-      .write.mode("overwrite").parquet(s"$storageDir/dict")
-    urls.unpersist()
-    val dict = spark.read.parquet(s"$storageDir/dict").as[VertexUrl]
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    dict.count()
-    val e = linksT.select(hvid($"src_url", salt).as("src"),
-      hvid($"dst_url", salt).as("dst"))
-    (fromEdges(spark, e, numParts, storageDir), dict)
+    val dict = phase("dict") {
+      urls.select(hvid($"url", salt).as("vid"), $"url")
+        .write.mode("overwrite").parquet(s"$storageDir/dict")
+      urls.unpersist()
+      val d = spark.read.parquet(s"$storageDir/dict").as[VertexUrl]
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      d.count()
+      d
+    }
+    val g = phase("edges") {
+      val e = linksT.select(hvid($"src_url", salt).as("src"),
+        hvid($"dst_url", salt).as("dst"))
+      fromEdges(spark, e, numParts, storageDir)
+    }
+    (g, dict)
   }
 
   /** Dense vid assignment via global sort + row_number (fine at test

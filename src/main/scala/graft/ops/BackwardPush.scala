@@ -109,31 +109,27 @@ object BackwardPush {
       verts.foreach { v =>
         if (!srcSet.contains(v)) { tgt(i) = v; us(i) = v; ws(i) = 1.0; i += 1 }
       }
-      // sort entries by (target, u): index sort then permute
-      val idx = Array.range(0, i)
-      val boxed: Array[Integer] = idx.map(Integer.valueOf)
-      java.util.Arrays.sort(boxed, (a: Integer, b: Integer) => {
-        val c = java.lang.Long.compare(tgt(a), tgt(b))
-        if (c != 0) c else java.lang.Long.compare(us(a), us(b))
-      })
+      // sort entries by (target, u) in place — primitive three-array
+      // quicksort (ADVICE r3/VERDICT r3 "what's wrong" #3: the index sort
+      // via Array[Integer] boxed O(m) ints and paid comparator
+      // indirection on a 20M-edge-gated path)
+      graft.util.Prim.sort2k(tgt, us, ws, 0, i - 1)
       val srcIds = new Array[Long](verts.length)
       val offsets = new Array[Int](verts.length + 1)
-      val dsts = new Array[Long](i)
-      val wts = new Array[Double](i)
       var k = 0; var nSrc = 0
       while (k < i) {
-        val e = boxed(k).intValue()
-        val t = tgt(e)
+        val t = tgt(k)
         if (nSrc == 0 || srcIds(nSrc - 1) != t) {
           srcIds(nSrc) = t; offsets(nSrc) = k; nSrc += 1
         }
-        dsts(k) = us(e); wts(k) = ws(e)
         k += 1
       }
       offsets(nSrc) = i
       // every vertex has >= 1 in-entry OR is a pure source with none;
-      // compact to the actually-present targets
-      val b = FlatBCsr(srcIds.take(nSrc), offsets.take(nSrc + 1), dsts, wts)
+      // compact to the actually-present targets. After the in-place sort
+      // `us`/`ws` ARE the entry arrays (trim to the filled prefix).
+      val b = FlatBCsr(srcIds.take(nSrc), offsets.take(nSrc + 1),
+        java.util.Arrays.copyOf(us, i), java.util.Arrays.copyOf(ws, i))
       graph.spark.sparkContext.broadcast(b)
     }
 

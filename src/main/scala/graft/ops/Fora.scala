@@ -34,7 +34,12 @@ object Fora {
                          rsum: Double, rmax: Double, omega: Double,
                          pushes: Long, walks: Long, walkSteps: Long,
                          pushSupersteps: Int = 0,
-                         tPushSec: Double = 0.0, tWalkSec: Double = 0.0)
+                         tPushSec: Double = 0.0, tWalkSec: Double = 0.0,
+                         // push-phase split: per chained-round epoch +
+                         // the kstate/rsum assembly tail (VERDICT r3 #2
+                         // — evidence for the hub scaling analysis)
+                         pushEpochSecs: Seq[Double] = Nil,
+                         pushTailSec: Double = 0.0)
 
   def rmaxOf(p: Params, m: Long, delta: Double, pfail: Double): Double =
     (p.eps / 3.0) * math.sqrt(
@@ -68,6 +73,11 @@ object Fora {
     val spark = rows.sparkSession
     import spark.implicits._
     rows
+      // guard, not dead code: sequence(0, -1) DESCENDS in Spark, so a
+      // nwalks=0 row would emit two bogus chunk rows instead of zero
+      // (ADVICE r3 #2); current callers all pre-filter nwalks >= 1, but
+      // the helper's contract must not depend on that
+      .where($"nwalks" > 0)
       .withColumn("_chunk", explode(sequence(lit(0L),
         floor(($"nwalks" - 1) / lit(SlotChunk)).cast("long"))))
       // spread CHUNK rows (≤4096 walks each) before expansion: the input
@@ -196,7 +206,7 @@ object Fora {
         pm, Map.empty, phase = "walk")
     }
     QueryResult(scores, push.rsum, rmax, omega, push.pushes, nWalks, steps,
-      push.supersteps, tPush, tWalk)
+      push.supersteps, tPush, tWalk, push.epochSecs, push.tailSec)
   }
 
   /** Monte-Carlo baseline (SURVEY.md O14; [KDD17 §2.3]): ω pure walks from

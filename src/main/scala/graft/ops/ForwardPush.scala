@@ -59,7 +59,13 @@ object ForwardPush {
                     // FORA estimate merge) can zipPartitions against the
                     // state instead of shuffling it (Fora.query)
                     fastBlocks: Option[(org.apache.spark.rdd.RDD[StateBlock],
-                      Int)] = None)
+                      Int)] = None,
+                    // per-epoch wall seconds (fast path: one entry per
+                    // chained-round job group) + the post-loop
+                    // kstate/rsum assembly — the phase split behind the
+                    // hub-scaling analysis (VERDICT r3 #2)
+                    epochSecs: Seq[Double] = Nil,
+                    tailSec: Double = 0.0)
 
   /** Compact state row for the broadcast-CSR fast path:
     * key = qid<<40 | vid (vid < 2^40, qid < 2^23). */
@@ -146,7 +152,7 @@ object ForwardPush {
       .toDF()
     val fr = runFastK(graph, init, alpha, rmax, maxSupersteps, chainLen)
     Result(unpackK(spark, fr.kstate), fr.rsum, fr.supersteps, fr.pushes,
-      fr.blocks)
+      fr.blocks, fr.epochSecs, fr.tailSec)
   }
 
   /** Packed fast-path state plus run stats; `kstate` feeds warm-started
@@ -157,7 +163,9 @@ object ForwardPush {
   case class FastResult(kstate: DataFrame, rsum: Double, supersteps: Int,
                         pushes: Long,
                         blocks: Option[(org.apache.spark.rdd.RDD[StateBlock],
-                          Int)] = None)
+                          Int)] = None,
+                        epochSecs: Seq[Double] = Nil,
+                        tailSec: Double = 0.0)
 
   def unpackK(spark: org.apache.spark.sql.SparkSession, kstate: DataFrame)
       : DataFrame = {
@@ -227,8 +235,10 @@ object ForwardPush {
     var step = 0
     var converged = false
     var totalPushes = 0L
+    val epochSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
 
     while (!converged && step < maxSupersteps) {
+      val tEpoch0 = System.nanoTime()
       val rounds = math.min(chainLen, maxSupersteps - step)
       val pushAcc = sc.longAccumulator(s"fpushes_$step")
       val remoteAcc = sc.longAccumulator(s"fremote_$step")
@@ -261,8 +271,10 @@ object ForwardPush {
       totalPushes += pushAcc.value
       converged = remoteAcc.value == 0 && pushAcc.value == 0
       step += rounds
+      epochSecs += (System.nanoTime() - tEpoch0) / 1e9
     }
 
+    val tTail0 = System.nanoTime()
     val kstate = spark.createDataset(blocks.flatMap { blk =>
       blk.keys.indices.iterator
         .filter(i => blk.reserve(i) != 0.0 || blk.residue(i) != 0.0)
@@ -270,7 +282,8 @@ object ForwardPush {
     }).toDF()
     val rsum = kstate.agg(coalesce(sum($"residue"), lit(0.0)))
       .as[Double].head()
-    FastResult(kstate, rsum, step, totalPushes, Some((blocks, p)))
+    FastResult(kstate, rsum, step, totalPushes, Some((blocks, p)),
+      epochSecs.toSeq, (System.nanoTime() - tTail0) / 1e9)
   }
 
   /** Primitive-array cascade for one hash partition (fast path). The

@@ -32,8 +32,53 @@ object Dedup {
     array_distinct(split(lower(textCol), " "))
 
   /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * min over token hashes. Returned as array<long>. */
-  def minhashSignature(textCol: Column, numHashes: Int): Column = {
+    * min over token hashes. Returned as array<long>.
+    *
+    * ONE UDF pass over the token array (VERDICT r3 "what's wrong" #2):
+    * the expression form ran `numHashes` interpreted
+    * `array_min(transform(...))` HOF traversals per row — 32 array
+    * passes multiplying every corpus scan. Here each token's UTF-8
+    * bytes are hashed once per function in a tight JVM loop. Values are
+    * BIT-IDENTICAL to the expression form (MinhashParitySpec):
+    * Spark's `xxhash64(lit(i), t)` chains h = hashInt(i, 42) then
+    * hashBytes(utf8(t), h), replicated here via the same XXH64 class. */
+  def minhashSignature(textCol: Column, numHashes: Int): Column =
+    minhashUdf(numHashes)(tokens(textCol))
+
+  private def minhashUdf(numHashes: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    // per-function seeds: Spark evaluates xxhash64(lit(i), t) as
+    // hashInt(i, seed=42) chained into the string hash
+    val seeds = Array.tabulate(numHashes)(i =>
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, 42L))
+    udf { (toks: Seq[String]) =>
+      if (toks == null) null
+      else {
+        val mins = Array.fill(numHashes)(Long.MaxValue)
+        toks.foreach { t =>
+          val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var i = 0
+          while (i < numHashes) {
+            val h = org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashUnsafeBytes(bytes,
+                org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+                bytes.length, seeds(i))
+            if (h < mins(i)) mins(i) = h
+            i += 1
+          }
+        }
+        // empty token set ⇒ array_min(empty) = null per element in the
+        // expression form; replicate
+        if (toks.isEmpty) Seq.fill[java.lang.Long](numHashes)(null)
+        else mins.toSeq.map(java.lang.Long.valueOf)
+      }
+    }
+  }
+
+  /** Expression form kept as the parity oracle for MinhashParitySpec —
+    * the semantics the UDF must reproduce bit-for-bit. */
+  private[graft] def minhashSignatureExpr(textCol: Column,
+                                         numHashes: Int): Column = {
     val toks = tokens(textCol)
     val sigs = (0 until numHashes).map { i =>
       array_min(transform(toks, t => xxhash64(lit(i), t)))
@@ -120,8 +165,43 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** 64-bit SimHash: weighted sign-sum of token-hash bits. */
-  def simhash(textCol: Column): Column = {
+  /** 64-bit SimHash: weighted sign-sum of token-hash bits.
+    *
+    * ONE UDF pass (VERDICT r3 "what's wrong" #1): the expression form
+    * ran 64 interpreted `aggregate(toks, ...)` traversals per row — it
+    * alone cost ~9.4 s of the r3 bench and multiplies a 100 TB corpus
+    * scan by 64 array passes. Here each token is hashed once
+    * (xxhash64 seed 42, same as the `xxhash64(t)` column) and votes for
+    * all 64 bits in a tight loop. Bit-identical to the expression form
+    * (SimhashParitySpec). */
+  def simhash(textCol: Column): Column = simhashUdf(tokens(textCol))
+
+  private val simhashUdf
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (toks: Seq[String]) =>
+      if (toks == null) null
+      else {
+        val votes = new Array[Int](64)
+        toks.foreach { t =>
+          val h = graft.util.Hashing.hashString(t, 42L)
+          var b = 0
+          while (b < 64) {
+            votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+            b += 1
+          }
+        }
+        var sig = 0L
+        var b = 0
+        while (b < 64) {
+          if (votes(b) > 0) sig |= (1L << b)
+          b += 1
+        }
+        java.lang.Long.valueOf(sig)
+      }
+    }
+
+  /** Expression form kept as the parity oracle for SimhashParitySpec. */
+  private[graft] def simhashExpr(textCol: Column): Column = {
     val toks = tokens(textCol)
     // for each bit b: popcount-style sum of (bit set ? 1 : -1) over tokens
     val bits = (0 until 64).map { b =>

@@ -45,6 +45,51 @@ object Prim {
     if (hi0 > lo0) sort(lo0, hi0)
   }
 
+  /** Quicksort three parallel arrays by (k1, k2) lexicographically, in
+    * place. Same structure as sort3; used where the secondary key must be
+    * part of the total order (e.g. CSR entry sort by (target, source)). */
+  def sort2k(k1: Array[Long], k2: Array[Long], w: Array[Double],
+             lo0: Int, hi0: Int): Unit = {
+    def less(i: Int, pj1: Long, pj2: Long): Boolean =
+      k1(i) < pj1 || (k1(i) == pj1 && k2(i) < pj2)
+    def greater(i: Int, pj1: Long, pj2: Long): Boolean =
+      k1(i) > pj1 || (k1(i) == pj1 && k2(i) > pj2)
+    def swap(i: Int, j: Int): Unit = {
+      val t1 = k1(i); k1(i) = k1(j); k1(j) = t1
+      val t2 = k2(i); k2(i) = k2(j); k2(j) = t2
+      val tw = w(i); w(i) = w(j); w(j) = tw
+    }
+    def sort(lo: Int, hi: Int): Unit = {
+      if (hi - lo < 12) {
+        var i = lo + 1
+        while (i <= hi) {
+          val a1 = k1(i); val a2 = k2(i); val aw = w(i)
+          var j = i - 1
+          while (j >= lo && (k1(j) > a1 || (k1(j) == a1 && k2(j) > a2))) {
+            k1(j + 1) = k1(j); k2(j + 1) = k2(j); w(j + 1) = w(j); j -= 1
+          }
+          k1(j + 1) = a1; k2(j + 1) = a2; w(j + 1) = aw
+          i += 1
+        }
+      } else {
+        val mid = lo + (hi - lo) / 2
+        if (less(mid, k1(lo), k2(lo))) swap(mid, lo)
+        if (less(hi, k1(lo), k2(lo))) swap(hi, lo)
+        if (less(hi, k1(mid), k2(mid))) swap(hi, mid)
+        val p1 = k1(mid); val p2 = k2(mid)
+        var i = lo; var j = hi
+        while (i <= j) {
+          while (less(i, p1, p2)) i += 1
+          while (greater(j, p1, p2)) j -= 1
+          if (i <= j) { swap(i, j); i += 1; j -= 1 }
+        }
+        if (lo < j) sort(lo, j)
+        if (i < hi) sort(i, hi)
+      }
+    }
+    if (hi0 > lo0) sort(lo0, hi0)
+  }
+
   /** Open-addressing long→slot map with linear probing. Slots index the
     * caller's parallel growable arrays. */
   final class LongSlotMap(initCap: Int) {

@@ -26,6 +26,39 @@ class TextAnnSpec extends SparkSpec {
     }
   }
 
+  test("one-pass simhash UDF is bit-identical to the expression form") {
+    val sp = spark
+    import sp.implicits._
+    // corpus plus edge shapes: empty string, punctuation-only, repeats
+    val docs = (corpus ++ Seq((1000L, ""), (1001L, "x"),
+      (1002L, "a a a b"), (1003L, "..,;!")))
+      .toDF("doc_id", "text")
+    val both = docs.select($"doc_id",
+      graft.text.Dedup.simhash($"text").as("u"),
+      graft.text.Dedup.simhashExpr($"text").as("e"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"doc ${r.getLong(0)}: udf=${r.getLong(1)} expr=${r.getLong(2)}")
+    }
+  }
+
+  test("one-pass minhash UDF is bit-identical to the expression form") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (corpus ++ Seq((1000L, ""), (1001L, "x"),
+      (1002L, "a a a b")))
+      .toDF("doc_id", "text")
+    val both = docs.select($"doc_id",
+      graft.text.Dedup.minhashSignature($"text", 32).as("u"),
+      graft.text.Dedup.minhashSignatureExpr($"text", 32).as("e"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("simhashPairs returns EXACTLY all pairs at Hamming dist <= maxDist") {
     val sp = spark
     import sp.implicits._
