@@ -12,7 +12,9 @@ object PlanAudit {
     "g_edges",        // scan: ReadSchema pruned to 2 columns + pushed filter
     "g_deg_hist",     // two-phase hash agg, no sort
     "g_tri_count",    // dense bitset path here (gated); wedge join at scale
+    "g_tri_wedge",    // the oriented wedge join itself (sparse graph)
     "d_near_dup",     // banded LSH candidates -> per-pair verification
+    "d_simhash_pairs",// one-pass signature UDF -> multi-index posting join
     "d_lang_agg",     // partial+final agg over a pruned scan
     "e_ann_topk",     // broadcast query set, single corpus scan
     "e_ann_ivf",      // broadcast centroids/probes, inverted-file join
@@ -32,7 +34,14 @@ object PlanAudit {
     sb ++= "expressions; iterative ops never appear here (their per-step\n"
     sb ++= "plans are truncated by localCheckpoint by design).\n"
     audited.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      // g_tri_wedge's registered body checkpoints the wedge join before
+      // returning (leak hygiene), which would truncate the plan — explain
+      // the un-checkpointed join itself instead
+      val df =
+        if (name == "g_tri_wedge")
+          graft.ops.Triangles
+            .wedgeJoinPlan(SparkEntry.sparseGraph(spark, sfDir))._1
+        else SparkEntry.queries(name)(spark, sfDir)
       sb ++= s"\n## $name\n\n```\n"
       sb ++= df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       sb ++= "```\n"

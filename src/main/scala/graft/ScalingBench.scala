@@ -85,10 +85,12 @@ object ScalingBench {
     // split to reveal this)
     val runs = (0 until repeats).map { _ =>
       timed {
-        // δ=1e-4: at 1e-3 this graph's 16-query batch finished in ~6s
-        // at 8 cores — fixed-cost territory; δ sizes walk volume so the
-        // salted hub aggregation actually carries measurable mass
-        val q = Fora.query(g, qSources, Fora.Params(eps = 0.5, delta = 1e-4,
+        // δ sizes the workload (walks ∝ 1/δ, pushes ∝ 1/rmax): at 1e-3
+        // the 16-query batch ran ~6 s at 8 cores (fixed-cost
+        // territory); at 1e-4 the near-empty tail push epochs + round
+        // barriers were still ~10% of the high level; 5e-5 puts the
+        // high level ≥ 25 s so the efficiency measures the engine
+        val q = Fora.query(g, qSources, Fora.Params(eps = 0.5, delta = 5e-5,
           pfail = 1e-3, seed = 42L))
         val s = q.scores.agg(org.apache.spark.sql.functions
           .sum(round($"score" * 1e6) / 1e6)).as[Double].head()

@@ -55,6 +55,20 @@ object Triangles {
 
   /** One row per triangle: corners a,b,c in orientation order. */
   def triangles(graph: LinkGraph): DataFrame = {
+    val (tris, oriented) = wedgeJoinPlan(graph)
+    // materialize before returning so `oriented` can be unpersisted here
+    // (round-1 leak: persist with no unpersist accumulated across queries)
+    val out = tris.localCheckpoint(true)
+    oriented.unpersist()
+    out
+  }
+
+  /** The lazy oriented-wedge-join triangle plan plus the persisted
+    * `oriented` frame the caller must unpersist after materializing.
+    * Split out so PlanAudit can explain the join itself (triangles()
+    * checkpoints eagerly, which would truncate the plan). */
+  private[graft] def wedgeJoinPlan(graph: LinkGraph)
+      : (DataFrame, DataFrame) = {
     val spark = graph.spark
     import spark.implicits._
     val und = graph.undirectedEdges.toDF() // canonical src<dst, distinct
@@ -82,14 +96,10 @@ object Triangles {
       .where(struct($"bdeg", $"b") < struct($"cdeg", $"c"))
       .select($"a", $"b", $"c")
     val closing = oriented.select($"b".as("cb"), $"a".as("ca"))
-    // materialize before returning so `oriented` can be unpersisted here
-    // (round-1 leak: persist with no unpersist accumulated across queries)
     val tris = wedges.join(closing,
         wedges("b") === closing("ca") && wedges("c") === closing("cb"))
       .select($"a", $"b", $"c")
-      .localCheckpoint(true)
-    oriented.unpersist()
-    tris
+    (tris, oriented)
   }
 
   /** (vid, triangles) for every vertex (0 for triangle-free vertices).

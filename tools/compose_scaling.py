@@ -91,6 +91,21 @@ for name, tkey, thr in workloads:
     lines.append(f"| {name} | {lo[tkey]:.2f} | {hi[tkey]:.2f} | "
                  f"{sp:.2f}× | **{e:.2f}** | {t_lo} | {t_hi} |")
 lines.append("")
+# --- ingest phase split (VERDICT r3 #6) ---
+ing_phases = [("links (extract+write)", "t_ingest_links"),
+              ("vid audit (distinct+collision scan)", "t_ingest_audit"),
+              ("dict write", "t_ingest_dict"),
+              ("edge table (distinct+write+count)", "t_ingest_edges"),
+              ("CSR block build", "t_ingest_csr")]
+if all(k in lo and k in hi for _, k in ing_phases):
+    lines.append("### Ingest phase split\n")
+    lines.append(f"| phase | T_{lo_c} (s) | T_{hi_c} (s) | phase eff |")
+    lines.append("|---|---|---|---|")
+    for name, k in ing_phases:
+        pe = (lo[k] / hi[k]) / ratio if hi[k] > 0 else float("nan")
+        lines.append(f"| {name} | {lo[k]:.2f} | {hi[k]:.2f} | {pe:.2f} |")
+    lines.append("")
+
 lines.append("Auxiliary metrics at local[%d]: ops_per_sec=%.0f "
              "(pushes+walk-steps/s), pushes=%d, walks=%d, walk_steps=%d, "
              "push supersteps=%d, t_push=%.2f s, t_walk=%.2f s, "
@@ -168,6 +183,15 @@ if hub_path.exists():
                     lines.append(f"| {ph} | {h_lo[key]:.2f} | "
                                  f"{h_hi[key]:.2f} | {pe:.2f} |")
             lines.append("")
+        if "push_epochs" in h_hi:
+            # per-epoch push series (VERDICT r3 #2): proves/refutes the
+            # "per-round fixed cost" claim with data
+            def fmt(d):
+                es = ", ".join(f"{e:.2f}" for e in d["push_epochs"])
+                return f"[{es}] + tail {d.get('push_tail', 0.0):.2f}"
+            lines.append(
+                f"Push epoch series (chained-round job groups, seconds): "
+                f"local[{lo_c}] {fmt(h_lo)}; local[{hi_c}] {fmt(h_hi)}.\n")
 
 gate_effs = [("sspr_qps live", eff("t_fora64"))]
 if "t_fora64_idx" in lo:
@@ -181,9 +205,10 @@ lines.append(
     + "An efficiency above 1.0 is cache-side, not artifact: at the low "
     "level the same per-task walk working set (CSR + endpoint buffers) "
     "contends for the same LLC across fewer, longer tasks; checksums are "
-    "identical across levels. The short walk-heavy variant exists for "
-    "the FORA+ index analysis above, not the gate — at ~6 s of work its "
-    "efficiency measures scheduler fixed costs. pagerank20 and ingest "
+    "identical across levels. The walk-heavy variant is sized (δ=6e-5) "
+    "so the high level carries ≥30 s of real work — its efficiency now "
+    "measures the engine, not scheduler fixed costs (VERDICT r3 #7). "
+    "pagerank20 and ingest "
     "sit below the gate: their per-iteration fixed costs (job "
     "scheduling, AQE replanning, lineage truncation, parquet write "
     "barriers) do not shrink with cores at this input size; on a real "
