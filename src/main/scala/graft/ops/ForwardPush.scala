@@ -122,7 +122,7 @@ object ForwardPush {
     *     p=16 fora64 graph scaled at 1.02 with identical code). A
     *     multiple of 16 divides evenly into 2/4/8/16-core waves.
     */
-  private[ops] def fastStateParts(numEdges: Long): Int =
+  private[graft] def fastStateParts(numEdges: Long): Int =
     if (numEdges <= 2000000L) math.max(1, (numEdges / 500000L).toInt)
     else {
       val raw = (numEdges / 1000000L).toInt
