@@ -98,7 +98,16 @@ object SparkEntry {
     * runs its driver loop eagerly (each superstep is an action), and the
     * DataFrame it returns only has shallow lazy work left (scans of
     * checkpointed state), so the gate values no longer matter once the
-    * call returns. Synchronized because the gates are process-global. */
+    * call returns. Synchronized because the gates are process-global.
+    *
+    * SINGLE-THREADED-DRIVER ASSUMPTION (ADVICE r4 #4): the synchronized
+    * block only excludes other forcingScalePlans callers — a normal gated
+    * query evaluated CONCURRENTLY in the same JVM would observe the
+    * zeroed gates and silently take the forced scale plan (same values,
+    * different physical plan). The Verify/Bench drivers and the sbt
+    * suite evaluate queries sequentially, which is the supported mode; a
+    * concurrent library entry point must instead thread gate overrides
+    * as operator parameters. */
   private def forcingScalePlans[A](body: => A): A = synchronized {
     val savedFast = ForwardPush.fastPathMaxEdges
     val savedPr = PageRank.DenseMaxVertices

@@ -54,13 +54,6 @@ final class LinkGraph private (
     edges.groupBy($"src").agg(sort_array(collect_list($"dst")).as("dsts")),
     "adj", Some("src")).as[VertexAdj]
 
-  /** In-adjacency (transpose) — backward push reuses forward push on this
-    * (SURVEY.md O15). */
-  lazy val adjIn: Dataset[VertexAdj] = materialize(
-    edges.groupBy($"dst".as("src"))
-      .agg(sort_array(collect_list($"src")).as("dsts")),
-    "adj_in", Some("src")).as[VertexAdj]
-
   /** Per-partition CSR blocks (SURVEY.md §1.2): one row per content-derived
     * partition (part = pmod(xxhash64(src), P) — never the physical
     * partition index, so blocks are identical at any parallelism). */

@@ -51,14 +51,6 @@ case class FlatCsr(srcIds: Array[Long], offsets: Array[Int],
   def fastIndexOf(vid: Long): Int = fastIndex.get(vid)
 }
 
-/** PPR iteration state for one (query, vertex) pair. `qid` keys batched
-  * multi-source runs (FORA is embarrassingly parallel across sources —
-  * SURVEY.md §7.4.1); single-source runs use qid=0. */
-case class VertexState(qid: Int, vid: Long, reserve: Double, residue: Double)
-
-/** One random walk in flight. */
-case class Walk(qid: Int, walkId: Long, cur: Long, mass: Double, step: Int)
-
 /** Per-superstep, per-partition execution metrics (north rule: checkpoint
   * with per-partition lineage + push/walk metrics). */
 case class PartMetrics(part: Int, rows: Long, pushes: Long, walks: Long,

@@ -410,7 +410,7 @@ object BackwardPush {
     val seeds = spark.range(omega)
       .select(lit(0).as("qid"), lit(s).as("origin"), $"id".as("slot"),
         lit(s).as("cur"), lit(1.0 / omega).as("mass"))
-    val hits = RandomWalks.run(graph, seeds, alpha, seed)
+    val hits = RandomWalks.run(graph, seeds, alpha, seed, estWalks = omega)
       .groupBy($"vid").agg(sum($"mass").as("w"))
       .join(rt.select($"vid", $"residue"), "vid")
       .agg(coalesce(sum($"w" * $"residue"), lit(0.0))).as[Double].head()

@@ -69,7 +69,8 @@ object Fora {
     * walk each, billions of filtered rows dominated the whole walk
     * phase.) Slot values are identical to the direct explode, so
     * counter-RNG walks (origin, slot, step) are bitwise unchanged. */
-  private[graft] def expandSlots(rows: DataFrame): DataFrame = {
+  private[graft] def expandSlots(rows: DataFrame,
+                                 estWalks: Long = -1L): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
     rows
@@ -84,8 +85,10 @@ object Fora {
       // inherits its producer's partitioning (the push state block RDD
       // may have only a handful of partitions) and per-vertex walk
       // counts are hub-skewed, so balancing at chunk granularity keeps
-      // the expansion both parallel and even
-      .repartition(spark.sparkContext.defaultParallelism * 2)
+      // the expansion both parallel and even. Width is data-derived
+      // (walkWidth, VERDICT r4 #3) — callers pass the walk-volume
+      // estimate (ω is exact to within the residual-vertex count)
+      .repartition(RandomWalks.walkWidth(spark, estWalks))
       .withColumn("_off", explode(sequence(lit(0L),
         least(lit(SlotChunk), $"nwalks" - $"_chunk" * lit(SlotChunk)) - 1)))
       .withColumn("slot", $"_chunk" * lit(SlotChunk) + $"_off")
@@ -112,10 +115,14 @@ object Fora {
     val residuals = push.state.where($"residue" > 0)
       .select($"qid", $"vid", $"residue")
     // ω_v = ceil(r_v·ω/rsum); each walk deposits r_v/ω_v
+    // Σ ceil(r_v·ω/rsum) ≈ ω + |residual vertices| (ω already scales with
+    // the batch via rsum) — the right order-of-magnitude width estimate
+    // without an extra count action
+    val estWalks = math.max(omega.toLong, 1L)
     val seeds = expandSlots(residuals
       .withColumn("nwalks",
         ceil($"residue" * lit(omega) / lit(math.max(push.rsum, 1e-300)))
-          .cast("long")))
+          .cast("long")), estWalks)
       .select($"qid", $"vid".as("origin"), $"slot", $"vid".as("cur"),
         ($"residue" / $"nwalks").as("mass"))
 
@@ -221,10 +228,14 @@ object Fora {
     val omega = math.ceil(
       3.0 * math.log(2.0 / pfail) / (p.eps * p.eps * delta)).toLong
     val seeds = expandSlots(sources.toSeq.sortBy(_._1).toDF("qid", "src")
-      .withColumn("nwalks", lit(omega)))
+      .withColumn("nwalks", lit(omega)),
+      estWalks = omega * math.max(sources.size, 1))
       .select($"qid", $"src".as("origin"), $"slot", $"src".as("cur"),
         lit(1.0 / omega).as("mass"))
-    RandomWalks.run(graph, seeds, p.alpha, p.seed)
+    // preSpread: expandSlots just spread the seeds at the data-derived
+    // width — a second full-width exchange here would be pure waste
+    RandomWalks.runCounted(graph, seeds, p.alpha, p.seed, preSpread = true)
+      .endpoints
       .groupBy($"qid", $"vid").agg(sum($"mass").as("score"))
   }
 

@@ -43,17 +43,21 @@ object WalkIndex {
     val omega1 = Fora.omegaOf(p, 1.0, delta, pfail)
 
     // streamed slot expansion (Fora.expandSlots): no nslots-length array
-    // rows even when deg·rmax·ω₁ approaches the cap
+    // rows even when deg·rmax·ω₁ approaches the cap. Index size ≈
+    // Σ_v ceil(deg·rmax·ω₁) ≤ m·rmax·ω₁ + n — the walkWidth estimate.
+    val estSlots = (m * rmax * omega1).toLong + n
     val seeds = Fora.expandSlots(graph.adj.toDF()
       .select($"src", size($"dsts").as("deg"))
       .withColumn("nwalks",
         least(ceil($"deg" * lit(rmax) * lit(omega1)), lit(cap.toLong))
           .cast("long"))
-      .where($"nwalks" > 0))
+      .where($"nwalks" > 0), estSlots)
       .select(lit(0).as("qid"), $"src".as("origin"), $"slot",
         $"src".as("cur"), lit(1.0).as("mass"))
 
-    val endpoints = RandomWalks.run(graph, seeds, p.alpha, p.seed)
+    val endpoints = RandomWalks
+      .runCounted(graph, seeds, p.alpha, p.seed, preSpread = true)
+      .endpoints
       .select($"origin", $"slot", $"vid".as("dest"))
 
     val dir = storageDir.getOrElse(

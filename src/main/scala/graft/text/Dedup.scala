@@ -52,7 +52,10 @@ object Dedup {
     val seeds = Array.tabulate(numHashes)(i =>
       org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, 42L))
     udf { (toks: Seq[String]) =>
-      if (toks == null) null
+      // null text ⇒ tokens null ⇒ the expression form yields
+      // array(array_min(null), ...) = numHashes per-element NULLs, not a
+      // NULL array — replicate exactly (ADVICE r4 #3; parity-spec'd)
+      if (toks == null) Seq.fill[java.lang.Long](numHashes)(null)
       else {
         val mins = Array.fill(numHashes)(Long.MaxValue)
         toks.foreach { t =>
@@ -179,7 +182,10 @@ object Dedup {
   private val simhashUdf
       : org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (toks: Seq[String]) =>
-      if (toks == null) null
+      // null text ⇒ aggregate(null,...) = null votes per bit, and
+      // when(null > 0, bit).otherwise(0) = 0 — the expression form
+      // returns 0L, not NULL; replicate (ADVICE r4 #3; parity-spec'd)
+      if (toks == null) java.lang.Long.valueOf(0L)
       else {
         val votes = new Array[Int](64)
         toks.foreach { t =>

@@ -80,10 +80,6 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")).cast("binary"))
 
-  /** 64-bit rolling-hash fingerprint (engine-side fast path). */
-  def fingerprint64(text: Column): Column =
-    xxhash64(lower(regexp_replace(text, "\\s+", " ")))
-
   // --- matching SQL renderings for the DuckDB oracle ---------------------
 
   object SqlText {

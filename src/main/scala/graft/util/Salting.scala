@@ -43,17 +43,4 @@ object Salting {
     phase1.groupBy(kcols: _*)
       .agg(sum(col("_partial")).as(valueCol))
   }
-
-  /** Salted count of rows per key (same two-phase shape). */
-  def saltedCount(df: DataFrame, keys: Seq[String], saltFrom: Column,
-                  salts: Int): DataFrame = {
-    require(salts > 0)
-    val kcols = keys.map(col)
-    val phase1 = df
-      .withColumn("_salt", pmod(xxhash64(saltFrom), lit(salts)).cast("int"))
-      .groupBy((kcols :+ col("_salt")): _*)
-      .agg(count(lit(1)).as("_partial"))
-    phase1.groupBy(kcols: _*)
-      .agg(sum(col("_partial")).as("cnt"))
-  }
 }

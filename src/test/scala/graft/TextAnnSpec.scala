@@ -29,33 +29,40 @@ class TextAnnSpec extends SparkSpec {
   test("one-pass simhash UDF is bit-identical to the expression form") {
     val sp = spark
     import sp.implicits._
-    // corpus plus edge shapes: empty string, punctuation-only, repeats
+    // corpus plus edge shapes: empty string, punctuation-only, repeats,
+    // and NULL text (ADVICE r4 #3: the expression form yields 0L there)
     val docs = (corpus ++ Seq((1000L, ""), (1001L, "x"),
-      (1002L, "a a a b"), (1003L, "..,;!")))
+      (1002L, "a a a b"), (1003L, "..,;!"),
+      (1004L, null.asInstanceOf[String])))
       .toDF("doc_id", "text")
     val both = docs.select($"doc_id",
       graft.text.Dedup.simhash($"text").as("u"),
       graft.text.Dedup.simhashExpr($"text").as("e"))
       .collect()
     both.foreach { r =>
-      assert(r.getLong(1) == r.getLong(2),
-        s"doc ${r.getLong(0)}: udf=${r.getLong(1)} expr=${r.getLong(2)}")
+      assert(r.isNullAt(1) == r.isNullAt(2) &&
+        (r.isNullAt(1) || r.getLong(1) == r.getLong(2)),
+        s"doc ${r.getLong(0)}: udf=${r.get(1)} expr=${r.get(2)}")
     }
   }
 
   test("one-pass minhash UDF is bit-identical to the expression form") {
     val sp = spark
     import sp.implicits._
+    // NULL text row: the expression form yields an array of 32 NULL
+    // elements (not a NULL array) — ADVICE r4 #3
     val docs = (corpus ++ Seq((1000L, ""), (1001L, "x"),
-      (1002L, "a a a b")))
+      (1002L, "a a a b"), (1004L, null.asInstanceOf[String])))
       .toDF("doc_id", "text")
     val both = docs.select($"doc_id",
       graft.text.Dedup.minhashSignature($"text", 32).as("u"),
       graft.text.Dedup.minhashSignatureExpr($"text", 32).as("e"))
       .collect()
     both.foreach { r =>
-      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
-        s"doc ${r.getLong(0)}")
+      assert(r.isNullAt(1) == r.isNullAt(2) &&
+        (r.isNullAt(1) ||
+          r.getSeq[java.lang.Long](1) == r.getSeq[java.lang.Long](2)),
+        s"doc ${r.getLong(0)}: udf=${r.get(1)} expr=${r.get(2)}")
     }
   }
 

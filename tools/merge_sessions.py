@@ -61,8 +61,10 @@ def main(out_path, session_paths):
             if key in d:
                 by_cpu.setdefault(d["cpus"], set()).add(d[key])
         for cpus, vals in by_cpu.items():
-            assert len(vals) == 1, \
-                f"checksum {key} differs across sessions at cpus={cpus}: {vals}"
+            if len(vals) != 1:  # explicit raise: assert dies under -O
+                raise SystemExit(
+                    f"checksum {key} differs across sessions at "
+                    f"cpus={cpus}: {vals}")
     merged = {c: {} for c in levels}
     for gate, keys in GROUPS.items():
         cands = [(path, ls) for path, ls in sessions

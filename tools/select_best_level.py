@@ -34,8 +34,10 @@ def main(out_path, gate, inputs):
         for key in lines[0]:
             if key.startswith("checksum"):
                 vals = {d.get(key) for d in lines if key in d}
-                assert len(vals) == 1, \
-                    f"checksum {key} differs across sessions at cpus={cpus}: {vals}"
+                if len(vals) != 1:  # explicit raise: assert dies under -O
+                    raise SystemExit(
+                        f"checksum {key} differs across sessions at "
+                        f"cpus={cpus}: {vals}")
         best = min((d for d in lines if gate in d), key=lambda d: d[gate])
         sessions = len(lines)
         best = dict(best)
