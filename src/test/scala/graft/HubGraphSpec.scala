@@ -145,4 +145,51 @@ class CsrSizingSpec extends SparkSpec {
       assert(e.getMessage.contains("sizing rule"))
     } finally LinkGraph.edgesPerBlockTarget = saved
   }
+
+  /** The round-5 one-sort-shuffle CSR build (packCsrStream over sorted
+    * (part, src, dst) rows) must produce blocks BITWISE identical to the
+    * original slab packer — same srcIds, offsets, dsts per part. */
+  test("packCsrStream equals packCsr on a skewed multi-part stream") {
+    val rnd = new scala.util.Random(11)
+    val edges = ((1 to 800).map(i => (0L, i.toLong)) ++ // hub slab
+      Seq.fill(600)((rnd.nextInt(50).toLong, rnd.nextInt(900).toLong)))
+      .distinct.filter(e => e._1 != e._2)
+    val P = 4
+    def partOf(v: Long) = graft.util.Hashing.partOf(v, P)
+    // streamed: rows sorted by (part, src, dst) WITH duplicate pairs
+    // mixed in — the sort makes them adjacent and the packer must drop
+    // them (the csr-first ingest's in-shuffle dedup); two parts
+    // interleave in one physical partition, one carries a single part
+    val sorted = (edges ++ edges.take(150) ++ edges.takeRight(75))
+      .map { case (s, d) => (partOf(s), s, d) }.sorted
+    val streamed = (LinkGraph.packCsrStream(
+      sorted.filter(_._1 <= 1).iterator) ++
+      LinkGraph.packCsrStream(sorted.filter(_._1 == 2).iterator) ++
+      LinkGraph.packCsrStream(sorted.filter(_._1 == 3).iterator))
+      .map(b => b.part -> b).toMap
+    // reference: slab packer per part
+    val slabbed = edges.groupBy(_._1).map { case (s, es) =>
+      graft.graph.VertexAdj(s, es.map(_._2).sorted.toArray)
+    }.groupBy(a => partOf(a.src)).map { case (p, slabs) =>
+      p -> LinkGraph.packCsr(p, slabs.iterator)
+    }
+    assert(streamed.keySet == slabbed.keySet)
+    streamed.keySet.foreach { p =>
+      assert(java.util.Arrays.equals(streamed(p).srcIds, slabbed(p).srcIds), s"srcIds p=$p")
+      assert(java.util.Arrays.equals(streamed(p).offsets, slabbed(p).offsets), s"offsets p=$p")
+      assert(java.util.Arrays.equals(streamed(p).dsts, slabbed(p).dsts), s"dsts p=$p")
+    }
+  }
+
+  test("packCsrStream rejects a block over the hard cap") {
+    val saved = LinkGraph.edgesPerBlockTarget
+    LinkGraph.edgesPerBlockTarget = 4 // hard cap 32
+    try {
+      val rows = Iterator.tabulate(40)(i => (0, i.toLong / 10, 100L + i))
+      val e = intercept[IllegalArgumentException] {
+        LinkGraph.packCsrStream(rows).toArray
+      }
+      assert(e.getMessage.contains("maxBlockEdges"))
+    } finally LinkGraph.edgesPerBlockTarget = saved
+  }
 }

@@ -26,7 +26,8 @@ import sys
 
 GROUPS = {
     "t_ingest": ["t_ingest", "t_ingest_links", "t_ingest_audit",
-                 "t_ingest_dict", "t_ingest_edges", "t_ingest_csr"],
+                 "t_ingest_dict", "t_ingest_edges", "t_ingest_csr",
+                 "t_ingest_adj"],
     "t_pagerank20": ["t_pagerank20", "pr_edges_per_sec", "checksum_pr"],
     "t_fora64": ["t_fora64", "t_push", "t_walk", "t_agg",
                  "push_supersteps", "sspr_qps", "ops_per_sec", "pushes",
@@ -66,15 +67,26 @@ def main(out_path, session_paths):
                     f"checksum {key} differs across sessions at "
                     f"cpus={cpus}: {vals}")
     merged = {c: {} for c in levels}
+    lo_level = min(levels)
+    ratio = hi_level / lo_level
     for gate, keys in GROUPS.items():
         cands = [(path, ls) for path, ls in sessions
                  if all(c in ls and gate in ls[c] for c in levels)]
         if not cands:
             continue
         path, ls = min(cands, key=lambda s: s[1][hi_level][gate])
+        # per-session same-window efficiency for EVERY candidate session
+        # (ADVICE r4 #1: the best-high selection must be visibly not
+        # load-bearing — the composed table prints this full range next
+        # to the selected session's number)
+        sess_effs = sorted(round(
+            (s[1][lo_level][gate] / s[1][hi_level][gate]) / ratio, 3)
+            for s in cands)
+        merged[hi_level][f"eff_sessions_{gate}"] = sess_effs
         print(f"{gate}: from {path} "
               f"(hi={ls[hi_level][gate]:.2f}s of "
-              f"{sorted(round(s[1][hi_level][gate], 2) for s in cands)})")
+              f"{sorted(round(s[1][hi_level][gate], 2) for s in cands)}; "
+              f"per-session eff {sess_effs})")
         for c in levels:
             for k in keys:
                 if k in ls[c]:
