@@ -191,17 +191,36 @@ object ScalingBench {
         .write.mode("overwrite").parquet(pagesPath)
     }
     val pagesDF = spark.read.parquet(pagesPath)
-    val ((graph, dict), tIngest) = timed {
-      val (g, d) = LinkGraph.fromPagesHashVids(spark, pagesDF,
-        numParts = 32, onPhase = (n, s) => ingestPhases(n) = s)
-      // csr + edges are built and timed inside fromPagesHashVids
-      // (csr-first ingest); adj (unpacked FROM csr) is kept in the timed
-      // region so the ingest scope stays comparable to r4, where adj was
-      // built as part of the csr pipeline
-      val (_, tAdj) = timed { g.adj.count() }
-      ingestPhases("adj") = tAdj
-      (g, d)
+    // min-of-N ingest (ingest/ingestprof modes only): single-repeat
+    // ingest efficiencies swung 0.61..0.73 across r4/r5 sessions on host
+    // bandwidth alone — the same volatility every OTHER workload already
+    // handles with min-of-3. Each repeat is a full fresh build (new temp
+    // storageDir); the cache is cleared between repeats so later runs
+    // don't fill a warmer block-manager than run 1 saw. The phase table
+    // reported is the one from the min-total run.
+    val ingestReps =
+      if (workloads == "ingest" || workloads == "ingestprof")
+        sys.env.getOrElse("SPARK_GRAFT_INGEST_REPEATS", "1").toInt
+      else 1
+    def ingestOnce(): ((LinkGraph, org.apache.spark.sql.Dataset[graft.graph.VertexUrl]), Double) =
+      timed {
+        val (g, d) = LinkGraph.fromPagesHashVids(spark, pagesDF,
+          numParts = 32, onPhase = (n, s) => ingestPhases(n) = s)
+        // csr + edges are built and timed inside fromPagesHashVids
+        // (csr-first ingest); adj (unpacked FROM csr) is kept in the timed
+        // region so the ingest scope stays comparable to r4, where adj was
+        // built as part of the csr pipeline
+        val (_, tAdj) = timed { g.adj.count() }
+        ingestPhases("adj") = tAdj
+        (g, d)
+      }
+    val ingestRuns = (0 until ingestReps).map { i =>
+      if (i > 0) { ingestPhases.clear(); spark.catalog.clearCache() }
+      val r = ingestOnce()
+      (r, ingestPhases.toMap)
     }
+    val (((graph, dict), tIngest), minPhases) = ingestRuns.minBy(_._1._2)
+    if (ingestReps > 1) { ingestPhases.clear(); ingestPhases ++= minPhases }
     val n = graph.numVertices
     val m = graph.numEdges
 
@@ -215,7 +234,7 @@ object ScalingBench {
         .map { case (k, v) => s""""t_ingest_$k":$v""" }.mkString(",")
       val json =
         s"""{"cpus":$cpus,"pages":$nPages,"n":$n,"m":$m,""" +
-          s""""repeats":1,"t_ingest":$tIngest,$phaseJson}"""
+          s""""repeats":$ingestReps,"t_ingest":$tIngest,$phaseJson}"""
       println("SCALING " + json)
       appendLine(outPath, json)
       spark.stop()
@@ -228,6 +247,59 @@ object ScalingBench {
       .orderBy(xxhash64($"vid", lit(77L)), $"vid").limit(64)
       .as[Long].collect()
     val qSources = qVids.zipWithIndex.map { case (v, i) => i -> v }.toMap
+
+    // --- FORA+ design-regime bench (VERDICT r4 #2): the walk index is a
+    // measured net LOSS on the broadcast fast path (walks against an
+    // in-task CSR are cheaper than a shuffle join against the endpoint
+    // table), and BASELINE.md argues its regime is the beyond-memory
+    // JOIN path, where a live walk pays per-hop shuffle joins against
+    // the adjacency. This mode MEASURES that claim: force the join path
+    // (fastPathMaxEdges = 0 gates both push and walks), run a
+    // walk-heavy workload live vs indexed at both levels. The index
+    // build itself also runs on the join path — in the beyond-memory
+    // regime there is no fast path to build with — and is reported
+    // separately (built once, amortized over the query stream).
+    if (workloads == "forajoin") {
+      ForwardPush.fastPathMaxEdges = 0L
+      val nq = sys.env.getOrElse("SPARK_GRAFT_JOIN_SOURCES", "8").toInt
+      val jDelta = sys.env.getOrElse("SPARK_GRAFT_JOIN_DELTA", "3e-4").toDouble
+      val reps = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
+      val qs = qVids.take(nq).zipWithIndex.map { case (v, i) => i -> v }.toMap
+      val pj = Fora.Params(eps = 0.5, delta = jDelta, pfail = 1e-3,
+        seed = 42L, rmaxScale = 10.0)
+      def checksumJ(df: org.apache.spark.sql.DataFrame): Double =
+        df.agg(sum(round($"score" * 1e6) / 1e6)).as[Double].head()
+      // warmup on the join path (JIT + adjacency cache)
+      Fora.query(graph, Map(0 -> qVids.head), pj.copy(delta = 1e-2))
+      val liveRuns = (0 until reps).map { _ =>
+        timed {
+          val q = Fora.query(graph, qs, pj)
+          (q, checksumJ(q.scores))
+        }
+      }
+      val ((fqL, sumLive), tLive) = liveRuns.minBy(_._2)
+      val (idxJ, tIdxJ) = timed { WalkIndex.build(graph, pj) }
+      val idxRunsJ = (0 until reps).map { _ =>
+        timed {
+          val q = Fora.query(graph, qs, pj, walkIndex = Some(idxJ))
+          (q, checksumJ(q.scores))
+        }
+      }
+      val ((fqI, sumIdx), tIdx) = idxRunsJ.minBy(_._2)
+      val json =
+        s"""{"cpus":$cpus,"pages":$nPages,"n":$n,"m":$m,"repeats":$reps,""" +
+          s""""join_sources":$nq,"join_delta":$jDelta,""" +
+          s""""t_forajoin_live":$tLive,"t_fj_live_push":${fqL.tPushSec},""" +
+          s""""t_fj_live_walk":${fqL.tWalkSec},""" +
+          s""""t_forajoin_idx_build":$tIdxJ,"t_forajoin_idx":$tIdx,""" +
+          s""""t_fj_idx_push":${fqI.tPushSec},"t_fj_idx_walk":${fqI.tWalkSec},""" +
+          s""""fj_qps_live":${nq / tLive},"fj_qps_idx":${nq / tIdx},""" +
+          s""""checksum_fj_live":$sumLive,"checksum_fj_idx":$sumIdx}"""
+      println("SCALING " + json)
+      appendLine(outPath, json)
+      spark.stop()
+      return
+    }
 
     // JIT/caches warmup: small runs of both phases
     PageRank.run(graph, 0.85, tol = 0.0, maxIter = 2, checkEvery = 2)

@@ -517,6 +517,26 @@ object SparkEntry {
         .agg(round(sum(col("score")), 6).as("mass"))
     }),
 
+    // HubPPR (O18): hub index = batched coarse push states; a hub-source
+    // query warm-starts from the stored state and refines to tol. The
+    // query source (1, the oracle's fixed source) is added to the
+    // degree-picked hub set explicitly so the ORACLED path is the warm
+    // one — hub membership is a policy input, and pinning it makes the
+    // row deterministic across sf dirs. Scores at tol=1e-9 are 6-dp
+    // stable, so the row shares g_ppr's 100-iter CTE oracle verbatim.
+    "g_hubppr" -> ((s, d) => {
+      val g = derivedGraph(s, d)
+      val idx = HubPpr.build(g, HubPpr.pickHubs(g, 4) :+ 1L,
+        alpha = 0.2, rmaxCoarse = 1e-6)
+      val res =
+        try HubPpr.query(g, idx, source = 1L, tol = 1e-9)
+        finally idx.table.unpersist()
+      g.vertices.toDF("vid")
+        .join(res.state.select(col("vid"), col("reserve")), Seq("vid"), "left")
+        .select(col("vid"),
+          round(coalesce(col("reserve"), lit(0.0)), 6).as("ppr"))
+    }),
+
     // the refinement LADDER (the mode a user actually runs — VERDICT r3
     // #5): warm-started pushes at ×16-finer rmax until the kth lower
     // bound separates. The top-k SET is provably exact at separation
@@ -875,6 +895,9 @@ object SparkEntry {
     // twins' oracle text VERBATIM; g_pagerank_join pins exactly 12
     // iterations on both sides; the ladder pins the provably-exact set
     "g_ppr_join" -> pprOracleSql(source = 1L, alpha = 0.2, iters = 100),
+    // O18: same fixpoint, reached via the hub warm start — the oracle is
+    // exactly g_ppr's (tol 1e-9 ⇒ 6-dp-stable regardless of path)
+    "g_hubppr" -> pprOracleSql(source = 1L, alpha = 0.2, iters = 100),
     "g_pagerank_join" -> pagerankOracleSql(damping = 0.8, iters = 12),
     "b_push_join" -> backwardOracleSql(target = 1L, alpha = 0.2, iters = 140),
     "g_fora_topk_ladder" -> topkVidsOracleSql(source = 1L, alpha = 0.2,

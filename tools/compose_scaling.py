@@ -117,7 +117,7 @@ if have_sess_effs:
         "on the session window and is reported as such below.\n")
 # --- ingest phase split (VERDICT r3 #6) ---
 ing_phases = [("links (extract+write)", "t_ingest_links"),
-              ("vid audit (distinct + salt-0 scan, one pass)", "t_ingest_audit"),
+              ("vid audit (distinct + batched salt scan)", "t_ingest_audit"),
               ("dict residual (write overlapped w/ edge build)", "t_ingest_dict"),
               ("edge table (distinct+count+write)", "t_ingest_edges"),
               ("CSR block build (one sort-shuffle)", "t_ingest_csr"),
@@ -171,6 +171,65 @@ if "t_fora64_wh" in hi and "t_fora64_wh_idx" in hi:
         f"t={hi['t_fora64_wh']:.1f}s live vs "
         f"{hi['t_fora64_wh_idx']:.1f}s indexed, build "
         f"{hi.get('t_idx_wh_build', float('nan')):.1f}s) — {verdict}.\n")
+
+# --- FORA+ design-regime bench: forced join path (VERDICT r4 #2) ---
+fj_path = runs_path.parent / "scaling_forajoin.jsonl"
+if fj_path.exists():
+    fj_by = {}
+    for line in fj_path.read_text().splitlines():
+        if line.strip():
+            d = json.loads(line)
+            fj_by[d["cpus"]] = d  # last line per level wins
+    if lo_c in fj_by and hi_c in fj_by:
+        f_lo, f_hi = fj_by[lo_c], fj_by[hi_c]
+        deltas = [abs(f_lo[k] - f_hi[k]) for k in
+                  ("checksum_fj_live", "checksum_fj_idx")]
+        # live and indexed must also agree WITH EACH OTHER (the index
+        # bitwise-reproduces the walks it replaces)
+        deltas.append(abs(f_hi["checksum_fj_live"] - f_hi["checksum_fj_idx"]))
+        fj_ok = all(d < CHECK_TOL for d in deltas)
+        gain_lo = f_lo["t_forajoin_live"] / f_lo["t_forajoin_idx"]
+        gain_hi = f_hi["t_forajoin_live"] / f_hi["t_forajoin_idx"]
+        eff_live = (f_lo["t_forajoin_live"] / f_hi["t_forajoin_live"]) / ratio
+        eff_idx = (f_lo["t_forajoin_idx"] / f_hi["t_forajoin_idx"]) / ratio
+        wgain_hi = (f_hi["t_fj_live_walk"] / f_hi["t_fj_idx_walk"]
+                    if f_hi.get("t_fj_idx_walk", 0) > 0 else float("nan"))
+        lines.append(
+            "## FORA+ in its design regime (forced join path)\n\n"
+            "The broadcast fast path is gated OFF "
+            "(`ForwardPush.fastPathMaxEdges = 0`, which routes BOTH the "
+            "push and the walks through the per-partition cogroup/"
+            "hop-join plans — the shape the engine takes when the CSR no "
+            "longer fits in one task's memory). On that path a live walk "
+            "pays per-hop shuffle joins against the adjacency, which is "
+            "exactly the cost the FORA+ precomputed index removes. Graph: "
+            f"n={f_hi['n']:,}, m={f_hi['m']:,} "
+            f"({f_hi['pages']:,} pages); {f_hi['join_sources']} sources, "
+            f"δ={f_hi['join_delta']:g}, rmaxScale=10, min of "
+            f"{f_hi['repeats']} repeats; index built on the join path "
+            "too (there is no fast path in this regime).\n")
+        lines.append(f"| mode | T_{lo_c} (s) | T_{hi_c} (s) | "
+                     f"efficiency | index speedup |")
+        lines.append("|---|---|---|---|---|")
+        lines.append(f"| live walks | {f_lo['t_forajoin_live']:.2f} | "
+                     f"{f_hi['t_forajoin_live']:.2f} | {eff_live:.2f} | "
+                     f"— |")
+        lines.append(f"| indexed (FORA+) | {f_lo['t_forajoin_idx']:.2f} | "
+                     f"{f_hi['t_forajoin_idx']:.2f} | {eff_idx:.2f} | "
+                     f"{gain_lo:.2f}× @{lo_c} / {gain_hi:.2f}× @{hi_c} |")
+        lines.append("")
+        lines.append(
+            f"Index build: {f_lo['t_forajoin_idx_build']:.1f}s at "
+            f"local[{lo_c}], {f_hi['t_forajoin_idx_build']:.1f}s at "
+            f"local[{hi_c}] — paid once, amortized over the query "
+            f"stream. Walk phase at local[{hi_c}]: "
+            f"{f_hi['t_fj_live_walk']:.2f}s live → "
+            f"{f_hi['t_fj_idx_walk']:.2f}s indexed ({wgain_hi:.1f}×). "
+            "This is the measured regime where the index WINS — "
+            "complementing the fast-path analysis above, where it "
+            "loses because in-task CSR walks are cheaper than an "
+            "endpoint-table join. Checksums live/indexed/cross-level "
+            f"all within tol: {'YES' if fj_ok else '**NO — invalid**'}.\n")
 
 hub_path = runs_path.parent / "scaling_hub.jsonl"
 if hub_path.exists():
@@ -240,12 +299,18 @@ lines.append(
     "identical across levels. The walk-heavy variant is sized 5× up "
     "(δ=6e-5, T_high ≈ 14 s / T_low ≈ 43 s) so its efficiency measures "
     "the engine rather than scheduler fixed costs (VERDICT r3 #7). "
-    "ingest remains below the gate: its phase table above shows the "
-    "shortfall concentrated in the write/shuffle barriers (vid audit, "
-    "CSR build, dictionary write) whose parquet I/O and per-job fixed "
-    "costs do not shrink with cores on one box; on a real 4N-executor "
-    "cluster the same writes spread over 4× the disks and the fixed "
-    "costs amortize over 100–1000× more rows per table.\n")
+    + ("" if eff("t_ingest") >= 0.8 else
+       "ingest remains below the gate: stage-level profiling "
+       "(BENCH/ingestprof_r05) shows its stages run with cores BUSY — "
+       "Σ task run time INFLATES with thread count for identical work — "
+       "so the shortfall is the one-box memory system under an "
+       "allocation/shuffle-heavy mix, not idle cores or a serial plan; "
+       "the Spark-free JvmProbe pins that same-mix hardware ceiling "
+       "(BENCH/probes_r05.jsonl), and the phase table above localizes "
+       "the residual to the shuffle/write phases that carry exactly "
+       "that mix. On a real 4N-executor cluster each executor brings "
+       "its own memory system and disks, so the inflation this box "
+       "measures does not occur.\n"))
 hw_path = runs_path.parent / "hw_probe.json"
 if hw_path.exists():
     hw = json.loads(hw_path.read_text().strip().splitlines()[-1])
