@@ -38,6 +38,12 @@ GROUPS = {
                     "sspr_qps_wh", "checksum_wh"],
     "t_fora64_wh_idx": ["t_idx_wh_build", "t_fora64_wh_idx",
                         "sspr_qps_wh_idx", "checksum_wh_idx"],
+    # hub-skew workload sessions (merged in a SEPARATE invocation — its
+    # graph differs from the main sessions', so META must not mix)
+    "t_fora_hub16": ["t_fora_hub16", "t_push", "t_walk", "t_agg",
+                     "push_epochs", "push_tail", "pushes", "walks",
+                     "walk_steps", "push_supersteps", "sspr_qps_hub",
+                     "checksum_hub"],
 }
 META = ["cpus", "pages", "n", "m", "repeats"]
 
