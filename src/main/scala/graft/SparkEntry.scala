@@ -88,6 +88,56 @@ object SparkEntry {
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
+  // --- shared derived results (round 6, guide §1.2 "don't compute things
+  // twice": several registered queries declare the SAME operator
+  // invocation — one computes scores, the other an aggregate/audit over
+  // them. The triCache/pprCache pattern (VERDICT r2 #5) extends to each
+  // such pair: the shared invocation is memoized per sfDir and persisted,
+  // so the pair pays for one computation, not two. Within-session reuse
+  // only — nothing is keyed on the data dir across processes. -----------
+
+  private def memo(cache: TrieMap[String, DataFrame], key: String)
+                  (build: => DataFrame): DataFrame =
+    cache.getOrElseUpdate(key,
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  // g_fora + g_fora_mass: identical Fora.query(g, sources 1,2,3) call
+  private val foraCache = TrieMap.empty[String, DataFrame]
+  private def foraScores(spark: SparkSession, sfDir: String): DataFrame =
+    memo(foraCache, sfDir) {
+      Fora.query(derivedGraph(spark, sfDir),
+        Map(0 -> 1L, 1 -> 2L, 2 -> 3L)).scores
+    }
+
+  // g_montecarlo + g_mc_mass: identical montecarlo(g, source 1) call
+  private val mcCache = TrieMap.empty[String, DataFrame]
+  private def mcScores(spark: SparkSession, sfDir: String): DataFrame =
+    memo(mcCache, sfDir) {
+      Fora.montecarlo(derivedGraph(spark, sfDir), Map(0 -> 1L),
+        Fora.Params(eps = 0.5, delta = 0.01))
+    }
+
+  // d_near_dup + d_neardup_audit: identical nearDuplicates(sample, 0.8)
+  private val nearDupCache = TrieMap.empty[String, DataFrame]
+  private def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame =
+    memo(nearDupCache, sfDir) {
+      graft.text.Dedup.nearDuplicates(
+        docs(spark, sfDir).where(col("doc_id") % 10 === 0), threshold = 0.8)
+    }
+
+  // d_simhash_pairs + d_simhash_audit: identical simhashPairs(sample, 8)
+  private val simhashCache = TrieMap.empty[String, DataFrame]
+  private def simhashPairsShared(spark: SparkSession, sfDir: String): DataFrame =
+    memo(simhashCache, sfDir) {
+      graft.text.Dedup.simhashPairs(
+        docs(spark, sfDir).where(col("doc_id") % 10 === 0), maxDist = 8)
+    }
+
+  // e_cos_neardup + e_ann_lsh_audit scan the same derived planted corpus
+  private val nearDupEmbCache = TrieMap.empty[String, DataFrame]
+  private def nearDupEmbeddings(spark: SparkSession, sfDir: String): DataFrame =
+    memo(nearDupEmbCache, sfDir) { derivedNearDupEmbeddings(spark, sfDir) }
+
   // --- scale-plan variants (VERDICT r3 next-round #1) ----------------------
 
   /** Temporarily zero the small-graph plan gates so the registered
@@ -338,14 +388,18 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_edges" -> ((s, d) => derivedEdges(s, d)),
 
+    // both aggregate over the SAME edge rows g_edges declares; serving
+    // them from the graph's cached edge table (identical content by
+    // construction — fromEdges is select+distinct of derivedEdges) drops
+    // a full lineitem re-scan + re-distinct per query (guide §1.2)
     "g_deg_hist" -> ((s, d) => {
-      derivedEdges(s, d).groupBy(col("src"))
+      derivedGraph(s, d).edges.toDF().groupBy(col("src"))
         .agg(count(lit(1)).as("outdeg"))
         .groupBy(col("outdeg")).agg(count(lit(1)).as("n_vertices"))
     }),
 
     "g_mutual_edges" -> ((s, d) => {
-      val e = derivedEdges(s, d)
+      val e = derivedGraph(s, d).edges.toDF()
       val r = e.select(col("dst").as("src"), col("src").as("dst"))
       e.intersect(r).agg((count(lit(1)) / 2).cast("long").as("mutual_pairs"))
     }),
@@ -396,24 +450,17 @@ object SparkEntry {
 
     // randomized operators: rows-only driver check on the raw scores, but
     // the *_mass invariants below are DuckDB-oracled (Σ_t π̂(s,t) = 1)
-    "g_fora" -> ((s, d) => {
-      val g = derivedGraph(s, d)
-      Fora.query(g, Map(0 -> 1L, 1 -> 2L, 2 -> 3L)).scores
-    }),
-    "g_fora_mass" -> ((s, d) => {
-      val g = derivedGraph(s, d)
-      Fora.query(g, Map(0 -> 1L, 1 -> 2L, 2 -> 3L)).scores
+    "g_fora" -> ((s, d) => foraScores(s, d)),
+    "g_fora_mass" -> ((s, d) =>
+      foraScores(s, d)
         .groupBy(col("qid"))
-        .agg(round(sum(col("score")), 6).as("mass"))
-    }),
+        .agg(round(sum(col("score")), 6).as("mass"))),
     "g_fora_topk" -> ((s, d) =>
       // exactScores: refine until rsum < 1e-9 so score == π to 6 dp —
       // DuckDB-oracled against the 100-iter CTE (desc limit 20)
       Fora.topk(derivedGraph(s, d), 1L, k = 20, exactScores = true)
         .select(col("vid"), round(col("score"), 6).as("score"))),
-    "g_montecarlo" -> ((s, d) =>
-      Fora.montecarlo(derivedGraph(s, d), Map(0 -> 1L),
-        Fora.Params(eps = 0.5, delta = 0.01))),
+    "g_montecarlo" -> ((s, d) => mcScores(s, d)),
     // ε-δ guarantee as a driver-checked invariant (VERDICT r2 "what's
     // missing" #3): for every vertex with exact π(s,t) ≥ δ, the
     // randomized estimate must sit within ε relative error. The exact
@@ -442,8 +489,7 @@ object SparkEntry {
         .unionByName(violations(Fora.montecarlo(g, srcs, p), "mc"))
     }),
     "g_mc_mass" -> ((s, d) =>
-      Fora.montecarlo(derivedGraph(s, d), Map(0 -> 1L),
-        Fora.Params(eps = 0.5, delta = 0.01))
+      mcScores(s, d)
         .groupBy(col("qid"))
         .agg(round(sum(col("score")), 6).as("mass"))),
     "g_lpa" -> ((s, d) =>
@@ -633,8 +679,7 @@ object SparkEntry {
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
 
     "d_near_dup" -> ((s, d) => // sampled: template corpora near-dup heavily
-      graft.text.Dedup.nearDuplicates(
-        docs(s, d).where(col("doc_id") % 10 === 0), threshold = 0.8)),
+      nearDupPairs(s, d)),
 
     "d_ngram_jaccard" -> ((s, d) =>
       graft.text.Dedup.ngramJaccardPairs(
@@ -646,9 +691,7 @@ object SparkEntry {
         size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0)))
           .cast("long").as("n_tokens_re"))),
 
-    "d_simhash_pairs" -> ((s, d) =>
-      graft.text.Dedup.simhashPairs(
-        docs(s, d).where(col("doc_id") % 10 === 0), maxDist = 8)),
+    "d_simhash_pairs" -> ((s, d) => simhashPairsShared(s, d)),
 
     // Driver-checked audits of the two xxhash64-signature dedup paths
     // (VERDICT r2 "what's missing" #3): DuckDB cannot reproduce the
@@ -671,8 +714,7 @@ object SparkEntry {
       //   budget derived from the per-pair miss rate and computed from
       //   n_exact identically on both sides.
       val sample = docs(s, d).where(col("doc_id") % 10 === 0)
-      val lsh = graft.text.Dedup.nearDuplicates(sample, threshold = 0.8)
-        .select(col("a"), col("b"))
+      val lsh = nearDupPairs(s, d).select(col("a"), col("b"))
       val exact = graft.text.Dedup.jaccardPairs(sample, threshold = 0.8)
         .select(col("a"), col("b"))
       exact.agg(count(lit(1)).cast("long").as("n_exact"))
@@ -694,8 +736,7 @@ object SparkEntry {
       // the oracle pins both to zero — the recall proof moves from
       // spec-only to the driver gate.
       val sample = docs(s, d).where(col("doc_id") % 10 === 0)
-      val mi = graft.text.Dedup.simhashPairs(sample, maxDist = 8)
-        .select(col("a"), col("b"))
+      val mi = simhashPairsShared(s, d).select(col("a"), col("b"))
       val sigs = sample.select(col("doc_id").as("id"),
         graft.text.Dedup.simhash(col("text")).as("sh"))
       val bf = sigs.as("x").join(sigs.as("y"),
@@ -733,7 +774,7 @@ object SparkEntry {
     // LSH top-2 rows equal the brute-force top-2 rows exactly; DuckDB
     // recomputes n_bf by brute force and pins both discrepancies to 0.
     "e_ann_lsh_audit" -> ((s, d) => {
-      val corpus = derivedNearDupEmbeddings(s, d)
+      val corpus = nearDupEmbeddings(s, d)
       val queries = corpus
         .where(col("vec_id") % 10 === 0 && col("vec_id") < 30)
         .select(col("vec_id").as("qid"), col("embedding"))
@@ -762,7 +803,7 @@ object SparkEntry {
     // auto-chosen (bits, tables), so LSH output == exact output.
     "e_cos_neardup" -> ((s, d) =>
       graft.text.Ann.cosineNearDuplicates(
-        derivedNearDupEmbeddings(s, d), threshold = 0.9)),
+        nearDupEmbeddings(s, d), threshold = 0.9)),
 
     // -- multimodal columns (graft.media.Multimodal) --
 

@@ -45,7 +45,19 @@ final class LinkGraph private (
     * full extra pass + shuffle per table during ingest for no semantic
     * difference (the cached plan is a fixed-size scan→agg prefix, so
     * superstep plan growth — the reason these tables are materialized at
-    * all — is unaffected). */
+    * all — is unaffected).
+    *
+    * Round 6: the parquet write is OVERLAPPED (guide §2.6, the same
+    * move as the r5 dict-write future): the count() is the materializing
+    * action, after which the write job only re-reads the cache — pure
+    * I/O that need not serialize the rest of the build. Writes complete
+    * in the background; awaitArtifacts() (called from unpersistAll)
+    * joins them, so the durable artifact is always complete before the
+    * tables it mirrors are dropped. */
+  private val pendingWrites =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      scala.concurrent.Future[Unit]]
+
   private def materialize(df: DataFrame, name: String,
                           partBy: Option[String]): DataFrame = {
     val shaped = partBy match {
@@ -54,8 +66,27 @@ final class LinkGraph private (
     }
     val cached = shaped.persist(StorageLevel.MEMORY_AND_DISK)
     cached.count()
-    cached.write.mode("overwrite").parquet(s"$storageDir/$name")
+    import scala.concurrent.ExecutionContext.Implicits.global
+    pendingWrites.add(scala.concurrent.Future {
+      cached.write.mode("overwrite").parquet(s"$storageDir/$name")
+    })
     cached
+  }
+
+  /** Block until every in-flight artifact write has landed. A write that
+    * failed because the session was torn down underneath it (end-of-JVM
+    * race) is reported, not rethrown — nothing can read the artifact
+    * after the session is gone anyway. */
+  def awaitArtifacts(): Unit = {
+    var f = pendingWrites.poll()
+    while (f != null) {
+      try scala.concurrent.Await
+        .result(f, scala.concurrent.duration.Duration.Inf)
+      catch { case e: Throwable =>
+        System.err.println(s"[linkgraph] artifact write failed: ${e.getMessage}")
+      }
+      f = pendingWrites.poll()
+    }
   }
 
   /** Deduped directed edges, no self-loops. Cache partitioning is the
@@ -184,15 +215,57 @@ final class LinkGraph private (
     derivedBroadcasts.getOrElseUpdate(key, build)
       .asInstanceOf[org.apache.spark.broadcast.Broadcast[T]]
 
+  /** Cached RDDs derived from this graph instance (the per-part pinned
+    * CSR handles for the join-path supersteps) — same lifetime contract
+    * as derivedBroadcasts. */
+  private val derivedRdds = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.rdd.RDD[_]]
+
+  /** Build-once holder for a cached RDD tied to this graph's lifetime;
+    * released by unpersistAll. */
+  def registerRdd[T](key: String)(
+      build: => org.apache.spark.rdd.RDD[T])
+      : org.apache.spark.rdd.RDD[T] =
+    derivedRdds.getOrElseUpdate(key, build)
+      .asInstanceOf[org.apache.spark.rdd.RDD[T]]
+
+  /** The CSR blocks pinned one-per-content-part: an RDD with exactly
+    * `numParts` partitions where partition i holds part i's block (if
+    * any). The STATIC side of the join-path superstep: zipPartitions
+    * against a state RDD routed by Hashing.partOf(vid, numParts) makes
+    * each superstep exchange ONLY the state rows — the cogroup
+    * formulation re-exchanged the whole (unchanged) CSR every round
+    * (guide §2.4: a join input that is already partitioned the way the
+    * join needs must not be reshuffled per iteration). */
+  lazy val csrZip: org.apache.spark.rdd.RDD[CsrBlock] = registerRdd("csrZip") {
+    val r = csr.rdd.map(b => (b.part, b))
+      .partitionBy(new LinkGraph.PartIdPartitioner(numParts))
+      .values
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    r.count()
+    r
+  }
+
   def unpersistAll(): Unit = {
+    awaitArtifacts()
     edges.unpersist(); adj.unpersist(); csr.unpersist()
     vertices.unpersist(); outDegrees.unpersist(); undirectedEdges.unpersist()
+    derivedRdds.values.foreach(_.unpersist(blocking = false))
+    derivedRdds.clear()
     derivedBroadcasts.values.foreach(_.destroy())
     derivedBroadcasts.clear()
   }
 }
 
 object LinkGraph {
+
+  /** Routes an Int content-part key to the physical partition of the
+    * same index — the layout contract of [[LinkGraph.csrZip]] and the
+    * state RDDs zipped against it. */
+  final class PartIdPartitioner(p: Int) extends org.apache.spark.Partitioner {
+    override def numPartitions: Int = p
+    override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+  }
 
   private def tempDir(): String =
     java.nio.file.Files.createTempDirectory("graft-graph-").toString

