@@ -51,8 +51,23 @@ object SparkEntry {
 
   private val graphCache = TrieMap.empty[String, LinkGraph]
   def derivedGraph(spark: SparkSession, sfDir: String): LinkGraph =
-    graphCache.getOrElseUpdate(sfDir,
-      LinkGraph.fromEdges(spark, derivedEdges(spark, sfDir), numParts = 16))
+    graphCache.getOrElseUpdate(sfDir, {
+      val g = LinkGraph.fromEdges(spark, derivedEdges(spark, sfDir),
+        numParts = 16)
+      // prefetch the SIBLING derived input on a second thread: every
+      // driver surface that builds the dense graph also needs the
+      // sparse one (bench build block, verify's g_tri_wedge), and the
+      // two ingests are independent — overlapping them back-fills the
+      // scheduler gaps of the dense build's serial table chain
+      // (guide §2.6). Same-keyed getOrElseUpdate returns this same
+      // in-flight instance to the eventual caller.
+      import scala.concurrent.ExecutionContext.Implicits.global
+      scala.concurrent.Future {
+        try { val sg = sparseGraph(spark, sfDir); sg.numEdges; () }
+        catch { case _: Throwable => () } // caller rebuilds on demand
+      }
+      g
+    })
 
   // g_tri_count and g_tri_pervertex share one triangle scan per sfDir.
   // The cached artifact is the per-vertex table (1 row/vertex), not the
@@ -715,8 +730,10 @@ object SparkEntry {
       //   n_exact identically on both sides.
       val sample = docs(s, d).where(col("doc_id") % 10 === 0)
       val lsh = nearDupPairs(s, d).select(col("a"), col("b"))
+      // exact feeds THREE consumers (count + both except directions);
+      // un-pinned it recomputed the all-pairs token self-join each time
       val exact = graft.text.Dedup.jaccardPairs(sample, threshold = 0.8)
-        .select(col("a"), col("b"))
+        .select(col("a"), col("b")).localCheckpoint(true)
       exact.agg(count(lit(1)).cast("long").as("n_exact"))
         .crossJoin(lsh.except(exact)
           .agg(count(lit(1)).cast("long").as("n_false_pos")))
@@ -739,10 +756,13 @@ object SparkEntry {
       val mi = simhashPairsShared(s, d).select(col("a"), col("b"))
       val sigs = sample.select(col("doc_id").as("id"),
         graft.text.Dedup.simhash(col("text")).as("sh"))
+      // bf feeds both except directions; pin so the brute-force
+      // signature self-join runs once, not twice
       val bf = sigs.as("x").join(sigs.as("y"),
           col("x.id") < col("y.id") &&
             bit_count(col("x.sh").bitwiseXOR(col("y.sh"))) <= 8)
         .select(col("x.id").as("a"), col("y.id").as("b"))
+        .localCheckpoint(true)
       mi.except(bf).agg(count(lit(1)).cast("long").as("n_extra"))
         .crossJoin(bf.except(mi)
           .agg(count(lit(1)).cast("long").as("n_missed")))
@@ -778,8 +798,12 @@ object SparkEntry {
       val queries = corpus
         .where(col("vec_id") % 10 === 0 && col("vec_id") < 30)
         .select(col("vec_id").as("qid"), col("embedding"))
+      // each side feeds two consumers (agg/except) — pin both so the
+      // scan+window pipelines run once each
       val lsh = graft.text.Ann.lshTopK(corpus, queries, k = 2)
+        .localCheckpoint(true)
       val bf = graft.text.Ann.bruteForceTopK(corpus, queries, k = 2)
+        .localCheckpoint(true)
       bf.agg(count(lit(1)).cast("long").as("n_bf"))
         .crossJoin(lsh.except(bf)
           .agg(count(lit(1)).cast("long").as("n_lsh_only")))

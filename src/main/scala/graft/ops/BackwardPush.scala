@@ -57,7 +57,12 @@ object BackwardPush {
       r
     }
 
-  /** Builds the weighted in-CSR parquet artifact if missing. */
+  /** Builds the weighted in-CSR parquet artifact if missing. Round 6:
+    * one sort-shuffle + streaming packer (the LinkGraph.packCsrStream
+    * shape) instead of groupByKey + a boxed-tuple sort per group —
+    * identical blocks (rows sorted (part, v, u), srcIds ascending,
+    * entries in (v, u) order; the entry set is already unique so no
+    * dedup arises). */
   private def ensureInCsr(graph: LinkGraph): Unit = {
     val spark = graph.spark
     import spark.implicits._
@@ -71,23 +76,61 @@ object BackwardPush {
         .unionByName(graph.outDegrees.where($"outDeg" === 0)
           .select($"vid".as("v"), $"vid".as("u"), lit(1.0).as("w")))
       entries
-        .groupByKey(r => Hashing.partOf(r.getLong(0), p))
-        .mapGroups { (part, it) =>
-          val rows = it.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-            .toArray.sortBy(t => (t._1, t._2))
-          val srcIds = rows.map(_._1).distinct
-          val offsets = new Array[Int](srcIds.length + 1)
-          val dsts = new Array[Long](rows.length)
-          val wts = new Array[Double](rows.length)
-          var i = 0; var s = 0
-          rows.foreach { case (v, u, w) =>
-            while (s < srcIds.length && srcIds(s) != v) { s += 1; offsets(s) = i }
-            dsts(i) = u; wts(i) = w; i += 1
-          }
-          while (s < srcIds.length) { s += 1; offsets(s) = i }
-          BCsr(part, srcIds, offsets, dsts, wts)
-        }.toDF()
+        .withColumn("part",
+          pmod(xxhash64($"v"), lit(p.toLong)).cast("int"))
+        .repartition(p, $"part")
+        .sortWithinPartitions($"part", $"v", $"u")
+        .select($"part", $"v", $"u", $"w").as[(Int, Long, Long, Double)]
+        .mapPartitions(packBCsrStream(_)).toDF()
         .write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** Streaming weighted-CSR packer over one physical partition of the
+    * sort-shuffle output (rows sorted by (part, v, u); a physical
+    * partition may carry several content parts — blocks cut at part
+    * boundaries). */
+  private def packBCsrStream(rows: Iterator[(Int, Long, Long, Double)])
+      : Iterator[BCsr] = new Iterator[BCsr] {
+    private val it = rows.buffered
+    def hasNext: Boolean = it.hasNext
+    def next(): BCsr = {
+      val part = it.head._1
+      var srcIds = new Array[Long](64)
+      var offs = new Array[Int](65)
+      var dsts = new Array[Long](1024)
+      var wts = new Array[Double](1024)
+      var nSrc = 0
+      var nDst = 0
+      var cur = Long.MinValue
+      var any = false
+      while (it.hasNext && it.head._1 == part) {
+        val (_, v, u, w) = it.next()
+        if (!any || v != cur) {
+          if (nSrc == srcIds.length) {
+            srcIds = java.util.Arrays.copyOf(srcIds, nSrc * 2)
+            offs = java.util.Arrays.copyOf(offs, nSrc * 2 + 1)
+          }
+          srcIds(nSrc) = v
+          offs(nSrc) = nDst
+          nSrc += 1
+          cur = v
+          any = true
+        }
+        if (nDst == dsts.length) {
+          dsts = java.util.Arrays.copyOf(dsts, nDst * 2)
+          wts = java.util.Arrays.copyOf(wts, nDst * 2)
+        }
+        dsts(nDst) = u
+        wts(nDst) = w
+        nDst += 1
+      }
+      offs(nSrc) = nDst
+      BCsr(part,
+        java.util.Arrays.copyOf(srcIds, nSrc),
+        java.util.Arrays.copyOf(offs, nSrc + 1),
+        java.util.Arrays.copyOf(dsts, nDst),
+        java.util.Arrays.copyOf(wts, nDst))
     }
   }
 

@@ -66,22 +66,26 @@ object PageRank {
     def step(r: DataFrame): DataFrame = {
       // materialize contribs ONCE: the round-1 broadcast-subquery form
       // re-executed the explode+shuffle subtree a second time for the
-      // dangling-mass scalar. The csum broadcast now reads the CACHED
-      // contribs, and the returned ranks frame stays lazy — its lineage
-      // is shallow (scan ⋈ checkpointed contribs), so no further
-      // truncation is needed and each iteration runs ONE heavy job.
+      // dangling-mass scalar. The csum scalar is now read off the
+      // CHECKPOINTED contribs with a driver head() (a trivial job over
+      // ~n cached rows) and folded in as a literal: same IEEE ops in
+      // the same order as the old (1 − csum)/n column expression, but
+      // the per-iteration BroadcastExchange + crossJoin — a 2nd job
+      // plus most of the multi-MiB per-stage task binary — is gone
+      // (round 6, guide §7.2: duplicated/oversized plan subtrees).
       val contribs = r.where($"outDeg" > 0)
         .join(adj, r("vid") === adj("src"))
         .select(explode($"dsts").as("vid"), ($"rank" / $"outDeg").as("c"))
         .groupBy($"vid").agg(sum($"c").as("contrib"))
         .localCheckpoint(true)
+      val spark = contribs.sparkSession
+      import spark.implicits._
       val csum = contribs
-        .agg(coalesce(sum($"contrib"), lit(0.0)).as("csum"))
+        .agg(coalesce(sum($"contrib"), lit(0.0))).as[Double].head()
       base.join(contribs, Seq("vid"), "left")
-        .crossJoin(broadcast(csum))
         .select($"vid", $"outDeg",
           (lit((1.0 - damping) / n) +
-            lit(damping) * ((lit(1.0) - $"csum") / n +
+            lit(damping) * (lit((1.0 - csum) / n) +
               coalesce($"contrib", lit(0.0)))).as("rank"))
     }
 

@@ -33,8 +33,49 @@ object Ann {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
 
-  def cosine(a: Column, b: Column): Column =
+  /** Expression (higher-order-function) cosine — kept as the parity
+    * oracle for CosineParitySpec; the hot paths use [[cosine]] below. */
+  private[graft] def cosineExpr(a: Column, b: Column): Column =
     dot(a, b) / (greatest(norm(a), lit(1e-12)) * greatest(norm(b), lit(1e-12)))
+
+  /** Compiled cosine over two double arrays, BIT-IDENTICAL to
+    * cosineExpr: `aggregate` is a sequential left fold, so the plain
+    * ascending loops below perform the exact same IEEE additions in the
+    * exact same order, and the final compose (sqrt / max / divide) is
+    * the same expression tree. One JVM loop replaces three interpreted
+    * HOF traversals per pair — Catalyst does not codegen higher-order
+    * functions, and the per-pair verification of the candidate joins
+    * (guide §4.1: prefer compiled execution on the hot expression) was
+    * dominated by that interpreter. Parity-spec'd (CosineParitySpec). */
+  private val cosineUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Seq[Double], b: Seq[Double]) =>
+      if (a == null || b == null) null
+      else {
+        val n = math.min(a.length, b.length) // zip_with stops at shorter? no:
+        // zip_with pads the shorter side with null and x*y with a null is
+        // null, and aggregate's acc + null nulls the fold — equal-length
+        // vectors everywhere in this engine; guard identically by
+        // returning null on length mismatch
+        if (a.length != b.length) null
+        else {
+          val av = a.toArray; val bv = b.toArray
+          var d = 0.0
+          var i = 0
+          while (i < n) { d += av(i) * bv(i); i += 1 }
+          var na = 0.0
+          i = 0
+          while (i < n) { na += av(i) * av(i); i += 1 }
+          var nb = 0.0
+          i = 0
+          while (i < n) { nb += bv(i) * bv(i); i += 1 }
+          java.lang.Double.valueOf(
+            d / (math.max(math.sqrt(na), 1e-12) *
+              math.max(math.sqrt(nb), 1e-12)))
+        }
+      }
+    }
+
+  def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
 
   /** Exact top-k by cosine for each query row.
     * @param corpus  (idCol, vecCol)

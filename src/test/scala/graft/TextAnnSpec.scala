@@ -26,6 +26,28 @@ class TextAnnSpec extends SparkSpec {
     }
   }
 
+  test("compiled cosine UDF is bit-identical to the HOF expression form") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    // assorted magnitudes/signs, incl. a zero vector (norm floor path)
+    val vecs = Seq(
+      (1L, Array(0.1, -2.5, 3.75, 1e-9)),
+      (2L, Array(4.0, 4.0, -1.25, 0.125)),
+      (3L, Array(0.0, 0.0, 0.0, 0.0)),
+      (4L, Array(1e150, -1e150, 2.0, 3.0)),
+      (5L, Array(0.3333333333333333, 0.1, -0.7, 2.2))).toDF("id", "v")
+    val pairs = vecs.as("x").crossJoin(vecs.as("y"))
+    val got = pairs.select(
+        graft.text.Ann.cosine(col("x.v"), col("y.v")).as("udf"),
+        graft.text.Ann.cosineExpr(col("x.v"), col("y.v")).as("expr"))
+      .collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+  }
+
   test("one-pass simhash UDF is bit-identical to the expression form") {
     val sp = spark
     import sp.implicits._
