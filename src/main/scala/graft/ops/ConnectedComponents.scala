@@ -121,15 +121,17 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint(true)
 
-      val multiParent = small.groupBy($"src")
-        .agg(countDistinct($"dst").as("c")).where($"c" > 1)
-        .limit(1).count()
+      // `small` is distinct (src, dst) rows, so "some src has two
+      // parents" ⇔ count(*) > countDistinct(src): one agg job over the
+      // checkpointed frame instead of groupBy+filter+limit (round 6)
+      val cnt = small.agg(count(lit(1)).as("n"),
+        countDistinct($"src").as("ns")).head()
+      val multiParent = cnt.getLong(0) > cnt.getLong(1)
       val chained =
-        if (multiParent > 0) 1L
-        else small.as("a")
+        multiParent || small.as("a")
           .join(small.as("b"), col("a.dst") === col("b.src"))
-          .limit(1).count()
-      converged = multiParent == 0 && chained == 0
+          .limit(1).count() > 0
+      converged = !multiParent && !chained
       edges = small
       rounds += 1
     }

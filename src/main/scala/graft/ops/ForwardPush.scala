@@ -272,11 +272,17 @@ object ForwardPush {
       }
       // pin BOTH epoch survivors before dropping the per-round caches
       // (recomputing through unpersisted cascades would double-count
-      // accumulators)
+      // accumulators). One zipPartitions action materializes both
+      // localCheckpoints — each task consumes its partition of blocks
+      // AND frontier (they share the VidPartitioner layout), so the
+      // second per-epoch count job is gone (round 6, guide §1.2).
       blocks = b.localCheckpoint()
-      blocks.count()
       frontier = f.localCheckpoint()
-      frontier.count()
+      blocks.zipPartitions(frontier) { (bi, fi) =>
+        while (bi.hasNext) bi.next()
+        while (fi.hasNext) fi.next()
+        Iterator.single(0)
+      }.count()
       epochCaches.foreach(_.unpersist(blocking = false))
       totalPushes += pushAcc.value
       converged = remoteAcc.value == 0 && pushAcc.value == 0

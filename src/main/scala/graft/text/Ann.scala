@@ -225,9 +225,23 @@ object Ann {
         .where(col("crank") <= n)
         .withColumnRenamed("cell_id", outCol)
     }
-    // inverted file: each corpus row in its single nearest cell
-    val assigned = nearestCells(corpus.select(col(idCol), col(vecCol)),
-      idCol, col(vecCol), 1, "cell")
+    // inverted file: each corpus row in its single nearest cell — the
+    // n=1 case is a plain argmax, so a two-phase hash aggregate
+    // (max_by over the lexicographic (csim, -cell_id) struct — EXACTLY
+    // the window's (csim desc, cell_id asc) winner) replaces a window
+    // with one sort-partition per corpus row (round 6, guide §2.4: an
+    // orderBy whose only purpose is picking a per-key extremum)
+    val assigned = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col(vecCol).cast("array<double>"),
+        col("cvec").cast("array<double>")))
+      .groupBy(col(idCol))
+      .agg(
+        max_by(col("cell_id"),
+          struct(col("csim"), (-col("cell_id")).as("negCell"))).as("cell"),
+        // every row of a group carries the SAME corpus vector (it came
+        // from the crossJoin), so first() is value-deterministic here
+        first(col(vecCol)).as(vecCol))
       .select(col(idCol), col(vecCol), col("cell"))
     val qv = queries.select(col(qidCol), col(vecCol).as("qvec"))
     val probes = nearestCells(qv, qidCol, col("qvec"), nProbe, "cell")
