@@ -25,6 +25,33 @@ object BenchExtra {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // stage-level accounting: wall time between stage submit/complete,
+    // summed task time, per stage-name prefix
+    val stageAgg = new java.util.concurrent.ConcurrentHashMap[String,
+      (Int, Double, Double)]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = e.stageInfo
+          val wall = (for {
+            s <- si.submissionTime; c <- si.completionTime
+          } yield (c - s) / 1e3).getOrElse(0.0)
+          val task = si.taskMetrics.executorRunTime / 1e3
+          val key = si.name.split(" at ").lastOption.getOrElse(si.name)
+          stageAgg.merge(key, (1, wall, task),
+            (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+        }
+      })
+    def dumpStages(): Unit = {
+      import scala.jdk.CollectionConverters._
+      stageAgg.asScala.toSeq.sortBy(-_._2._2).take(14).foreach {
+        case (k, (n, w, t)) =>
+          println(f"[benchextra]   stage $k%-40s n=$n%4d wall=$w%7.2f task=$t%7.2f")
+      }
+      stageAgg.clear()
+    }
+
     def timed[A](label: String)(f: => A): A = {
       spark.sparkContext.setJobDescription(label)
       val t0 = System.nanoTime()
@@ -37,11 +64,18 @@ object BenchExtra {
     what match {
       case "build" =>
         timed(s"build $sfDir") {
-          val g = SparkEntry.derivedGraph(spark, sfDir)
-          g.numEdges; g.numVertices; g.outDegrees.count()
-          g.undirectedEdges.count(); g.flatCsr
-          val sg = SparkEntry.sparseGraph(spark, sfDir)
-          sg.numEdges; sg.numVertices
+          val g = timed("fromEdges (distinct+count)") {
+            SparkEntry.derivedGraph(spark, sfDir)
+          }
+          timed("numEdges") { g.numEdges }
+          timed("numVertices") { g.numVertices }
+          timed("outDegrees (csr+adj+join)") { g.outDegrees.count() }
+          timed("undirectedEdges") { g.undirectedEdges.count() }
+          timed("flatCsr collect") { g.flatCsr }
+          timed("sparse graph") {
+            val sg = SparkEntry.sparseGraph(spark, sfDir)
+            sg.numEdges; sg.numVertices
+          }
         }
       case "pprjoin" =>
         val g = SparkEntry.derivedGraph(spark, sfDir)
@@ -55,6 +89,7 @@ object BenchExtra {
         }
         println(s"[benchextra] supersteps=${res.supersteps} " +
           s"pushes=${res.pushes} rsum=${res.rsum}")
+        dumpStages()
       case "bpushjoin" =>
         val g = SparkEntry.derivedGraph(spark, sfDir)
         g.numEdges
@@ -67,6 +102,32 @@ object BenchExtra {
         }
         println(s"[benchextra] supersteps=${res.supersteps} " +
           s"pushes=${res.pushes} rsum=${res.rsum}")
+      case "pagerank" =>
+        val g = SparkEntry.derivedGraph(spark, sfDir)
+        g.numEdges; g.outDegrees.count(); Thread.sleep(3000)
+        stageAgg.clear()
+        val saved = graft.ops.PageRank.DenseMaxVertices
+        graft.ops.PageRank.DenseMaxVertices = 0L
+        try timed("pagerank 12 iters (forced join)") {
+          val r = graft.ops.PageRank.run(g, damping = 0.8, tol = 0.0,
+            maxIter = 12, checkEvery = 12)
+          r.ranks.write.format("noop").mode("overwrite").save()
+        } finally graft.ops.PageRank.DenseMaxVertices = saved
+        dumpStages()
+      case "stagefloor" =>
+        // pure per-round scheduling/shuffle floor: `chain` chained
+        // 16-task shuffle rounds over near-empty data, one job
+        val sc = spark.sparkContext
+        val vp = new graft.graph.LinkGraph.PartIdPartitioner(16)
+        var r: org.apache.spark.rdd.RDD[(Int, Long)] =
+          sc.parallelize((0 until 16).map(i => (i, i.toLong)), 16)
+        timed(s"stagefloor rounds=$chain") {
+          (0 until chain).foreach { _ =>
+            r = r.partitionBy(vp).mapPartitions(
+              _.map(kv => (kv._1, kv._2 + 1)), preservesPartitioning = true)
+          }
+          r.count()
+        }
       case other =>
         System.err.println(s"[benchextra] unknown mode $other")
     }

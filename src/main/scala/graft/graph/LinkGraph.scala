@@ -59,12 +59,15 @@ final class LinkGraph private (
       scala.concurrent.Future[Unit]]
 
   /** Enqueue the durable-artifact write of an already-materialized
-    * cached frame (see materialize). */
-  private[graph] def enqueueWrite(df: DataFrame, name: String): Unit = {
-    import scala.concurrent.ExecutionContext.Implicits.global
+    * cached frame (see materialize). Writes run on ONE dedicated
+    * daemon thread (LinkGraph.writeEc): they overlap the build's
+    * compute jobs but never each other — concurrent FileFormatWriter
+    * jobs can collide in the output-commit coordinator
+    * (CommitDeniedException observed with the parallel form). */
+  private[graft] def enqueueWrite(df: DataFrame, name: String): Unit = {
     pendingWrites.add(scala.concurrent.Future {
       df.write.mode("overwrite").parquet(s"$storageDir/$name")
-    })
+    }(LinkGraph.writeEc))
   }
 
   private def materialize(df: DataFrame, name: String,
@@ -264,6 +267,16 @@ final class LinkGraph private (
 }
 
 object LinkGraph {
+
+  /** Single-threaded executor for the overlapped artifact writes (see
+    * enqueueWrite): one write job in flight at a time, process-wide. */
+  private[graph] val writeEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newSingleThreadExecutor { r =>
+        val t = new Thread(r, "graft-artifact-writer")
+        t.setDaemon(true)
+        t
+      })
 
   /** Routes an Int content-part key to the physical partition of the
     * same index — the layout contract of [[LinkGraph.csrZip]] and the

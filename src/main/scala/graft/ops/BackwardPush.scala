@@ -46,9 +46,7 @@ object BackwardPush {
     graph.registerRdd("inCsrZip") {
       val spark = graph.spark
       import spark.implicits._
-      ensureInCsr(graph)
-      val r = spark.read.parquet(s"${graph.storageDir}/in_csr_weighted")
-        .as[BCsr].rdd.map(b => (b.part, b))
+      val r = inCsrBlocks(graph).rdd.map(b => (b.part, b))
         .partitionBy(
           new graft.graph.LinkGraph.PartIdPartitioner(graph.numParts))
         .values
@@ -57,17 +55,23 @@ object BackwardPush {
       r
     }
 
-  /** Builds the weighted in-CSR parquet artifact if missing. Round 6:
-    * one sort-shuffle + streaming packer (the LinkGraph.packCsrStream
-    * shape) instead of groupByKey + a boxed-tuple sort per group —
-    * identical blocks (rows sorted (part, v, u), srcIds ascending,
-    * entries in (v, u) order; the entry set is already unique so no
-    * dedup arises). */
-  private def ensureInCsr(graph: LinkGraph): Unit = {
+  /** The weighted in-CSR block table: read back from the parquet
+    * artifact when it exists, else built with one sort-shuffle + a
+    * streaming packer (the LinkGraph.packCsrStream shape) instead of
+    * groupByKey + a boxed-tuple sort per group — identical blocks
+    * (rows sorted (part, v, u), srcIds ascending, entries in (v, u)
+    * order; the entry set is already unique so no dedup arises). The
+    * fresh build is served from its cache while the durable write
+    * rides the overlapped artifact queue — the old build paid a
+    * synchronous write + full read-back before the first superstep. */
+  private def inCsrBlocks(graph: LinkGraph)
+      : org.apache.spark.sql.Dataset[BCsr] = {
     val spark = graph.spark
     import spark.implicits._
     val path = s"${graph.storageDir}/in_csr_weighted"
-    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path))) {
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
+      spark.read.parquet(path).as[BCsr]
+    else {
       val p = graph.numParts
       val entries = graph.edges.toDF()
         .join(graph.outDegrees.select($"vid".as("src"), $"outDeg"), "src")
@@ -75,14 +79,17 @@ object BackwardPush {
           (lit(1.0) / $"outDeg").as("w"))
         .unionByName(graph.outDegrees.where($"outDeg" === 0)
           .select($"vid".as("v"), $"vid".as("u"), lit(1.0).as("w")))
-      entries
+      val built = entries
         .withColumn("part",
           pmod(xxhash64($"v"), lit(p.toLong)).cast("int"))
         .repartition(p, $"part")
         .sortWithinPartitions($"part", $"v", $"u")
         .select($"part", $"v", $"u", $"w").as[(Int, Long, Long, Double)]
-        .mapPartitions(packBCsrStream(_)).toDF()
-        .write.mode("overwrite").parquet(path)
+        .mapPartitions(packBCsrStream(_))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      built.count()
+      graph.enqueueWrite(built.toDF(), "in_csr_weighted")
+      built
     }
   }
 
@@ -217,10 +224,19 @@ object BackwardPush {
     val p = ForwardPush.fastStateParts(graph.numEdges)
     val sc = spark.sparkContext
     val csrB = flatInCsr(graph)
+    // round 6: plain RDD rounds with the VidPartitioner — placement is
+    // the SAME pmod(murmur3(key & VidMask), p) the old Dataset
+    // repartition computed, and cascadeFastB sorts its input, so
+    // results are bitwise unchanged while the per-epoch Catalyst
+    // planning/encoding of an 8-deep repartition chain is gone (the
+    // runJoin treatment applied to the packed fast path).
+    val vp = new ForwardPush.VidPartitioner(p)
 
-    var state: DataFrame = targets.toSeq.sortBy(_._1)
-      .map { case (q, v) => ForwardPush.KRow((q.toLong << 40) | v, 0.0, 1.0) }
-      .toDF()
+    var state: org.apache.spark.rdd.RDD[ForwardPush.KRow] = sc.parallelize(
+      targets.toSeq.sortBy(_._1)
+        .map { case (q, v) =>
+          ForwardPush.KRow((q.toLong << 40) | v, 0.0, 1.0) }, 1)
+    var pinned: Option[org.apache.spark.rdd.RDD[ForwardPush.KRow]] = None
     var step = 0
     var converged = false
     var totalPushes = 0L
@@ -228,23 +244,25 @@ object BackwardPush {
       val rounds = math.min(chainLen, maxSupersteps - step)
       val pushAcc = sc.longAccumulator(s"bfpushes_$step")
       val remoteAcc = sc.longAccumulator(s"bfremote_$step")
-      var df = state
+      var out = state
       (0 until rounds).foreach { _ =>
-        df = df.repartition(p,
-            col("key").bitwiseAND(lit(ForwardPush.VidMask)))
-          .as[ForwardPush.KRow]
-          .mapPartitions { it =>
-            cascadeFastB(it, csrB.value, alpha, rmax, p,
+        out = out.map(r => (r.key, r)).partitionBy(vp)
+          .mapPartitions({ it =>
+            cascadeFastB(it.map(_._2), csrB.value, alpha, rmax, p,
               pushAcc.add(_), remoteAcc.add(_))
-          }
-          .toDF()
+          }, preservesPartitioning = true)
       }
-      state = df.localCheckpoint(true)
+      val ck = out.localCheckpoint()
+      ck.count()
+      pinned.foreach(_.unpersist(blocking = false))
+      pinned = Some(ck)
+      state = ck
       totalPushes += pushAcc.value
       converged = remoteAcc.value == 0 && pushAcc.value == 0
       step += rounds
     }
-    val finalState = ForwardPush.unpackK(spark, state)
+    val finalState = ForwardPush.unpackK(spark,
+      spark.createDataset(state).toDF())
     val rsum = finalState.agg(coalesce(sum($"residue"), lit(0.0)))
       .as[Double].head()
     Result(finalState, rsum, step, totalPushes)
@@ -367,10 +385,15 @@ object BackwardPush {
     val csrZip = inCsr(graph)
     val vpart = new graft.graph.LinkGraph.PartIdPartitioner(p)
 
-    var state: org.apache.spark.rdd.RDD[BRow] = sc.parallelize(
-      targets.toSeq.sortBy(_._1)
-        .map { case (q, v) => BRow(q, v, 0.0, 1.0, delta = true) }, 1)
-    var pinned: Option[org.apache.spark.rdd.RDD[BRow]] = None
+    // batched exchange (ForwardPush.StateBatch): the per-round shuffle
+    // moves primitive-array payloads, unpacked before the (unchanged,
+    // input-sorting) cascade — results bitwise identical
+    var state: org.apache.spark.rdd.RDD[(Int, ForwardPush.StateBatch)] =
+      sc.parallelize(ForwardPush.packByDest(
+        targets.toSeq.sortBy(_._1)
+          .map { case (q, v) => (q, v, 0.0, 1.0) }.iterator, p).toSeq, 1)
+    var pinned: Option[org.apache.spark.rdd.RDD[(Int, ForwardPush.StateBatch)]] =
+      None
     var step = 0
     var converged = false
     var totalPushes = 0L
@@ -384,15 +407,18 @@ object BackwardPush {
         sc.longAccumulator(s"bremote_${step}_$r"))
       var out = state
       (0 until rounds).foreach { r =>
-        val routed = out
-          .map(s => (Hashing.partOf(s.vid, p),
-            BState(s.qid, s.vid, s.reserve, s.residue)))
-          .partitionBy(vpart)
-        out = routed.zipPartitions(csrZip, preservesPartitioning = true) {
+        val routed = out.partitionBy(vpart)
+        // preservesPartitioning MUST stay false — see ForwardPush.runJoin
+        out = routed.zipPartitions(csrZip, preservesPartitioning = false) {
           (sIt, bIt) =>
             val pid = org.apache.spark.TaskContext.getPartitionId()
-            cascade(pid, sIt.map(_._2), bIt.buffered.headOption, alpha,
-              rmax, p, pushAccs(r).add(_), remoteAccs(r).add(_))
+            ForwardPush.packByDest(
+              cascade(pid,
+                ForwardPush.unpackBatches(sIt)
+                  .map(t => BState(t._1, t._2, t._3, t._4)),
+                bIt.buffered.headOption, alpha, rmax, p,
+                pushAccs(r).add(_), remoteAccs(r).add(_))
+                .map(br => (br.qid, br.vid, br.reserve, br.residue)), p)
         }
       }
       val ck = out.localCheckpoint()
@@ -406,7 +432,9 @@ object BackwardPush {
       converged = remoteAccs(rounds - 1).value == 0
       step += rounds
     }
-    val finalState = spark.createDataset(state).toDF()
+    val finalState = spark.createDataset(
+        state.mapPartitions(it => ForwardPush.unpackBatches(it)
+          .map(t => BState(t._1, t._2, t._3, t._4)))).toDF()
       .groupBy($"qid", $"vid")
       .agg(sum($"reserve").as("reserve"), sum($"residue").as("residue"))
     val rsum = finalState.agg(sum($"residue")).as[Double].head()

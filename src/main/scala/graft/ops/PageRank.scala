@@ -49,6 +49,8 @@ object PageRank {
     if (ckpt.isEmpty && !resume && graph.numVertices <= DenseMaxVertices &&
         graph.numEdges <= ForwardPush.fastPathMaxEdges)
       return runDense(graph, damping, tol, maxIter, checkEvery)
+    if (ckpt.isEmpty && !resume)
+      return runJoinRdd(graph, damping, tol, maxIter, checkEvery)
     val spark = graph.spark
     import spark.implicits._
     val n = graph.numVertices
@@ -105,6 +107,182 @@ object PageRank {
       }
     }
     Result(ranks.select($"vid", $"rank"), iter, delta)
+  }
+
+  /** Distributed power iteration over the pinned per-part CSR (round 6).
+    * Same pinned semantics and per-iteration shape as the Dataset loop
+    * (one row-level exchange of contributions per iteration; dangling
+    * mass as (1 − Σcontrib)/n), expressed against LinkGraph.csrZip so
+    * an iteration is ONE two-stage job plus a tiny driver fold —
+    * profiling showed the Dataset form spent about half its wall time
+    * in per-iteration Catalyst/AQE replanning and most of the rest in
+    * Dataset operator overheads (guide §1.2/§7.3).
+    *
+    * Determinism is STRONGER than the Dataset form: per-destination
+    * contributions accumulate in (ascending src, slab-order dst) order,
+    * messages merge sorted by source part, and the global Σcontrib
+    * folds per-part partials in ascending part order — a pure function
+    * of content at any parallelism. Values agree with the Dataset loop
+    * to float-accumulation noise (~1e-16; both sides round to 6 dp for
+    * the oracle). */
+  private def runJoinRdd(graph: LinkGraph, damping: Double, tol: Double,
+                         maxIter: Int, checkEvery: Int): Result = {
+    val spark = graph.spark
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val p = graph.numParts
+    val n = graph.numVertices
+    val d = damping
+    val vpart = new graft.graph.LinkGraph.PartIdPartitioner(p)
+    val csrZip = graph.csrZip
+
+    // pinned sorted vertex-id block per content part, aligned to csrZip
+    val vidBlocks: org.apache.spark.rdd.RDD[Array[Long]] =
+      graph.registerRdd("vidBlocks") {
+        val r = graph.vertices.rdd
+          .map(v => (graft.util.Hashing.partOf(v, p), v))
+          .partitionBy(vpart).values
+          .mapPartitions { it =>
+            val a = it.toArray
+            java.util.Arrays.sort(a)
+            Iterator.single(a)
+          }
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        r.count()
+        r
+      }
+
+    var ranks: org.apache.spark.rdd.RDD[Array[Double]] =
+      vidBlocks.map(vs => Array.fill(vs.length)(1.0 / n))
+    var pinnedMerged: Option[org.apache.spark.rdd.RDD[(Array[Double], Double)]] =
+      None
+    var prevRanks: org.apache.spark.rdd.RDD[Array[Double]] = null
+    var iter = 0
+    var delta = Double.MaxValue
+
+    while (delta > tol && iter < maxIter) {
+      // contribution messages: per (source part → destination part),
+      // dst-sorted primitive arrays of partial sums
+      val msgs = vidBlocks.zipPartitions(ranks, csrZip) { (vIt, rIt, bIt) =>
+        val vids = vIt.next(); val rks = rIt.next()
+        val myPart = org.apache.spark.TaskContext.getPartitionId()
+        if (!bIt.hasNext) Iterator.empty
+        else {
+          val blk = bIt.next()
+          val accMap = new graft.util.Prim.LongSlotMap(1024)
+          var dsts = new Array[Long](1024)
+          var vals = new Array[Double](1024)
+          var nAcc = 0
+          var i = 0
+          while (i < blk.srcIds.length) {
+            val src = blk.srcIds(i)
+            val deg = blk.offsets(i + 1) - blk.offsets(i)
+            val share =
+              rks(java.util.Arrays.binarySearch(vids, src)) / deg
+            var e = blk.offsets(i)
+            while (e < blk.offsets(i + 1)) {
+              val dst = blk.dsts(e)
+              val s = accMap.getOrInsert(dst, nAcc)
+              if (s == nAcc) {
+                if (nAcc == dsts.length) {
+                  dsts = java.util.Arrays.copyOf(dsts, nAcc * 2)
+                  vals = java.util.Arrays.copyOf(vals, nAcc * 2)
+                }
+                dsts(nAcc) = dst; vals(nAcc) = 0.0; nAcc += 1
+              }
+              vals(s) += share
+              e += 1
+            }
+            i += 1
+          }
+          // emit per destination part, dst-sorted (deterministic payload)
+          graft.util.Prim.sort3(dsts,
+            vals, new Array[Double](nAcc max 1) // reuse 3-array sorter
+            , 0, nAcc - 1)
+          val out = scala.collection.mutable.Map
+            .empty[Int, (scala.collection.mutable.ArrayBuilder.ofLong,
+              scala.collection.mutable.ArrayBuilder.ofDouble)]
+          i = 0
+          while (i < nAcc) {
+            val dp = graft.util.Hashing.partOf(dsts(i), p)
+            val b = out.getOrElseUpdate(dp,
+              (new scala.collection.mutable.ArrayBuilder.ofLong,
+                new scala.collection.mutable.ArrayBuilder.ofDouble))
+            b._1 += dsts(i); b._2 += vals(i)
+            i += 1
+          }
+          out.iterator.map { case (dp, (db, vb)) =>
+            (dp, (myPart, db.result(), vb.result()))
+          }
+        }
+      }.partitionBy(vpart)
+
+      // merge: sorted by source part, added in ascending dst order
+      val merged = vidBlocks.zipPartitions(msgs) { (vIt, mIt) =>
+        val vids = vIt.next()
+        val contrib = new Array[Double](vids.length)
+        val inc = mIt.map(_._2).toArray.sortBy(_._1)
+        var k = 0
+        while (k < inc.length) {
+          val (_, ds, vs) = inc(k)
+          var i = 0
+          while (i < ds.length) {
+            contrib(java.util.Arrays.binarySearch(vids, ds(i))) += vs(i)
+            i += 1
+          }
+          k += 1
+        }
+        var s = 0.0
+        var i = 0
+        while (i < contrib.length) { s += contrib(i); i += 1 }
+        Iterator.single((contrib, s))
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+      val partials = merged
+        .mapPartitionsWithIndex((i, it) => it.map(x => (i, x._2)))
+        .collect().sortBy(_._1)
+      var csum = 0.0
+      partials.foreach(csum += _._2)
+
+      prevRanks = ranks
+      val dang = (1.0 - csum) / n
+      ranks = merged.map { case (contrib, _) =>
+        val out = new Array[Double](contrib.length)
+        var i = 0
+        while (i < contrib.length) {
+          out(i) = (1.0 - d) / n + d * (dang + contrib(i))
+          i += 1
+        }
+        out
+      }
+      iter += 1
+      if (iter % checkEvery == 0 || iter >= maxIter) {
+        delta = ranks.zipPartitions(prevRanks) { (nIt, oIt) =>
+          val nv = nIt.next(); val ov = oIt.next()
+          var mx = 0.0
+          var i = 0
+          while (i < nv.length) {
+            val df = math.abs(nv(i) - ov(i))
+            if (df > mx) mx = df
+            i += 1
+          }
+          Iterator.single(mx)
+        }.collect().foldLeft(0.0)(math.max)
+      }
+      // previous iteration's merged cache is no longer referenced once
+      // this one is materialized (the collect above materialized it)
+      pinnedMerged.foreach(_.unpersist(blocking = false))
+      pinnedMerged = Some(merged)
+    }
+
+    val rows = vidBlocks.zipPartitions(ranks) { (vIt, rIt) =>
+      val vids = vIt.next(); val rks = rIt.next()
+      Iterator.range(0, vids.length).map(i => (vids(i), rks(i)))
+    }
+    val out = spark.createDataset(rows).toDF("vid", "rank")
+      .localCheckpoint(true)
+    pinnedMerged.foreach(_.unpersist(blocking = false))
+    Result(out, iter, delta)
   }
 
   /** Dense-subgraph path (see [[DenseMaxVertices]]): every iteration of
