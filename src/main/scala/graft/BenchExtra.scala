@@ -114,6 +114,29 @@ object BenchExtra {
           r.ranks.write.format("noop").mode("overwrite").save()
         } finally graft.ops.PageRank.DenseMaxVertices = saved
         dumpStages()
+      case "mcjoin" =>
+        val g = SparkEntry.derivedGraph(spark, sfDir)
+        g.numEdges; g.adj.count(); Thread.sleep(2000)
+        stageAgg.clear()
+        val saved = graft.ops.ForwardPush.fastPathMaxEdges
+        graft.ops.ForwardPush.fastPathMaxEdges = 0L
+        try timed("montecarlo (forced hop-join walks)") {
+          graft.ops.Fora.montecarlo(g, Map(0 -> 1L),
+            graft.ops.Fora.Params(eps = 0.5, delta = 0.01))
+            .write.format("noop").mode("overwrite").save()
+        } finally graft.ops.ForwardPush.fastPathMaxEdges = saved
+        dumpStages()
+      case "ccstars" =>
+        val g = SparkEntry.derivedGraph(spark, sfDir)
+        g.numEdges; g.undirectedEdges.count(); Thread.sleep(2000)
+        stageAgg.clear()
+        val saved = graft.ops.ConnectedComponents.DenseMaxUndEdges
+        graft.ops.ConnectedComponents.DenseMaxUndEdges = 0L
+        try timed("cc star contraction (forced)") {
+          graft.ops.ConnectedComponents.run(g).components
+            .write.format("noop").mode("overwrite").save()
+        } finally graft.ops.ConnectedComponents.DenseMaxUndEdges = saved
+        dumpStages()
       case "stagefloor" =>
         // pure per-round scheduling/shuffle floor: `chain` chained
         // 16-task shuffle rounds over near-empty data, one job

@@ -120,8 +120,9 @@ object RandomWalks {
     val walks = live.count()
     var n = walks
     var step = 0
+    var epochHops = hopsPerEpoch
     while (n > 0 && step < maxSteps) {
-      val hops = math.min(hopsPerEpoch, maxSteps - step)
+      val hops = math.min(epochHops, maxSteps - step)
       var cur = live
       (0 until hops).foreach(h => cur = hop(cur, step + h))
       val epoch = cur.localCheckpoint(true)
@@ -129,6 +130,14 @@ object RandomWalks {
       live = epoch.where(!col("done"))
       n = live.count()
       step += hops
+      // live walks decay geometrically (α per hop), so later epochs hold
+      // a tiny survivor tail — yet each epoch pays a full chained-plan
+      // AQE planning pass. Doubling the chain per epoch (capped to keep
+      // the plan bounded) spends those fixed costs on ~log instead of
+      // ~maxLen/hopsPerEpoch epochs. Step numbering — and so every
+      // counter-RNG draw — is unchanged: results are bitwise identical
+      // (round 6, guide §1.2).
+      epochHops = math.min(epochHops * 2, 16)
     }
     val all = finished.foldLeft(live)(_ unionByName _).localCheckpoint(true)
     val steps = all.agg(coalesce(sum(col("nsteps")), lit(0L)))
