@@ -90,57 +90,63 @@ object ConnectedComponents {
     Result(rows, 1)
   }
 
+  /** Star contraction as plain RDD set algebra (round 6): identical
+    * alternating large-star/small-star rounds and the identical
+    * fixpoint test, but each round is a handful of reduceByKey/join
+    * shuffles at graph.numParts width instead of a Catalyst chain that
+    * spent about half its wall in per-round AQE replanning (profiled).
+    * Every operation is integer set arithmetic (min/distinct/join), so
+    * the produced edge sets — and the final labels — are exactly the
+    * Dataset formulation's. Hub-safety is unchanged: mins come from
+    * reduceByKey (map-side combined), never a materialized neighbor
+    * array. */
   private def runStars(graph: LinkGraph, maxRounds: Int): Result = {
     val spark = graph.spark
     import spark.implicits._
+    val p = graph.numParts
 
-    var edges: DataFrame = graph.undirectedEdges.toDF() // canonical: src<dst
-      .select($"dst".as("src"), $"src".as("dst"))       // → src>dst
-      .localCheckpoint(true)
-
+    // canonical child>parent orientation: undirectedEdges is (src<dst)
+    var edges: org.apache.spark.rdd.RDD[(Long, Long)] =
+      graph.undirectedEdges.rdd.map(e => (e.dst, e.src))
+        .localCheckpoint()
+    var pinned: Option[org.apache.spark.rdd.RDD[(Long, Long)]] = None
     var rounds = 0
-    var converged = edges.isEmpty
+    var converged = edges.isEmpty()
     while (!converged && rounds < maxRounds) {
-      // hub-safe formulation: the star mins come from groupBy().agg(min)
-      // + an equi-join back to the edges — a web-scale hub's neighbor set
-      // is never materialized as one array row (round-1 collect_set would
-      // OOM on a power-law hub; min() partial-aggregates map-side)
-      val sym = edges.union(edges.select($"dst".as("src"), $"src".as("dst")))
-      val largeMins = sym.groupBy($"src").agg(min($"dst").as("mn"))
-        .select($"src", least($"mn", $"src").as("m"))
-      val large = sym.join(largeMins, Seq("src"))
-        .where($"dst" > $"src")
-        .select($"dst".as("src"), $"m".as("dst"))
-        .distinct()
-
-      val smallMins = large.groupBy($"src").agg(min($"dst").as("m"))
-      val small = large.join(smallMins, Seq("src"))
-        .select($"dst".as("src"), $"m".as("dst"))
-        .unionByName(smallMins.select($"src", $"m".as("dst")))
-        .where($"src" =!= $"dst")
-        .distinct()
-        .localCheckpoint(true)
-
-      // `small` is distinct (src, dst) rows, so "some src has two
-      // parents" ⇔ count(*) > countDistinct(src): one agg job over the
-      // checkpointed frame instead of groupBy+filter+limit (round 6)
-      val cnt = small.agg(count(lit(1)).as("n"),
-        countDistinct($"src").as("ns")).head()
-      val multiParent = cnt.getLong(0) > cnt.getLong(1)
-      val chained =
-        multiParent || small.as("a")
-          .join(small.as("b"), col("a.dst") === col("b.src"))
-          .limit(1).count() > 0
+      val sym = edges.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      val largeMins = sym.reduceByKey(math.min(_, _), p)
+        .map { case (src, mn) => (src, math.min(mn, src)) }
+      val large = sym.join(largeMins, p)
+        .filter { case (src, (dst, _)) => dst > src }
+        .map { case (_, (dst, m)) => (dst, m) }
+        .distinct(p)
+      val smallMins = large.reduceByKey(math.min(_, _), p)
+      val small = large.join(smallMins, p)
+        .map { case (_, (dst, m)) => (dst, m) }
+        .union(smallMins)
+        .filter { case (s, d) => s != d }
+        .distinct(p)
+      val ck = small.localCheckpoint()
+      val n = ck.count()
+      // distinct (src, dst) rows ⇒ multi-parent ⇔ n > distinct srcs
+      val multiParent = ck.keys.distinct(p).count() < n
+      val chained = multiParent ||
+        ck.map(e => (e._2, ())).join(ck.map(e => (e._1, ())), p)
+          .take(1).nonEmpty
       converged = !multiParent && !chained
-      edges = small
+      pinned.foreach(_.unpersist(blocking = false))
+      pinned = Some(ck)
+      edges = ck
       rounds += 1
     }
 
     // stars: (child > root); isolated vertices label themselves
-    val labels = edges.select($"src".as("vid"), $"dst".as("component"))
+    val labels = spark.createDataset(edges).toDF("vid", "component")
     val comps = graph.vertices.toDF("vid")
       .join(labels, Seq("vid"), "left")
       .select($"vid", coalesce($"component", $"vid").as("component"))
+      .localCheckpoint(true)
+    pinned.foreach(_.unpersist(blocking = false))
     Result(comps, rounds)
   }
 }
