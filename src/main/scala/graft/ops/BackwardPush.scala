@@ -408,6 +408,9 @@ object BackwardPush {
       var out = state
       (0 until rounds).foreach { r =>
         val routed = out.partitionBy(vpart)
+        // capture only this round's accumulators (minimal task binary)
+        val pushAcc = pushAccs(r)
+        val remoteAcc = remoteAccs(r)
         // preservesPartitioning MUST stay false — see ForwardPush.runJoin
         out = routed.zipPartitions(csrZip, preservesPartitioning = false) {
           (sIt, bIt) =>
@@ -417,7 +420,7 @@ object BackwardPush {
                 ForwardPush.unpackBatches(sIt)
                   .map(t => BState(t._1, t._2, t._3, t._4)),
                 bIt.buffered.headOption, alpha, rmax, p,
-                pushAccs(r).add(_), remoteAccs(r).add(_))
+                pushAcc.add(_), remoteAcc.add(_))
                 .map(br => (br.qid, br.vid, br.reserve, br.residue)), p)
         }
       }

@@ -520,6 +520,10 @@ object ForwardPush {
       var out = state
       (0 until rounds).foreach { r =>
         val routed = out.partitionBy(vpart)
+        // capture ONLY this round's accumulators (not the whole epoch
+        // arrays) so each stage's task binary stays minimal
+        val pushAcc = pushAccs(r)
+        val remoteAcc = remoteAccs(r)
         // preservesPartitioning MUST stay false: the zip output's batch
         // keys are DESTINATION parts (remote deltas included), so it
         // does not satisfy vpart's contract — claiming it would make
@@ -531,7 +535,7 @@ object ForwardPush {
               cascade(pid,
                 unpackBatches(sIt).map(t => StateIn(t._1, t._2, t._3, t._4)),
                 bIt.buffered.headOption, alpha, rmax, p,
-                pushAccs(r).add(_), remoteAccs(r).add(_), noMetrics)
+                pushAcc.add(_), remoteAcc.add(_), noMetrics)
                 .map(pr => (pr.qid, pr.vid, pr.reserve, pr.residue)), p)
         }
       }

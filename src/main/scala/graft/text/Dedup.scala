@@ -118,9 +118,12 @@ object Dedup {
       explode(charNgrams(col(textCol), n)).as("tok")), threshold)
 
   /** Shared Jaccard scorer over exploded (id, tok) rows (tok distinct
-    * per id). */
-  private def jaccardFromTokens(toks: DataFrame, threshold: Double)
+    * per id). The token frame feeds THREE scans (sizes + both sides of
+    * the self-join) — pin it so tokenization/shingling runs once
+    * (round 6, guide §1.2). */
+  private def jaccardFromTokens(toksIn: DataFrame, threshold: Double)
       : DataFrame = {
+    val toks = toksIn.localCheckpoint(true)
     val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val common = toks.as("x").join(toks.as("y"),
         col("x.tok") === col("y.tok") && col("x.id") < col("y.id"))
