@@ -28,7 +28,7 @@ object BenchExtra {
     // stage-level accounting: wall time between stage submit/complete,
     // summed task time, per stage-name prefix
     val stageAgg = new java.util.concurrent.ConcurrentHashMap[String,
-      (Int, Double, Double)]()
+      (Int, Double, Double, Double, Double, Double)]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
@@ -37,17 +37,22 @@ object BenchExtra {
           val wall = (for {
             s <- si.submissionTime; c <- si.completionTime
           } yield (c - s) / 1e3).getOrElse(0.0)
-          val task = si.taskMetrics.executorRunTime / 1e3
+          val tm = si.taskMetrics
+          val task = tm.executorRunTime / 1e3
+          val gc = tm.jvmGCTime / 1e3
+          val deser = tm.executorDeserializeTime / 1e3
+          val fetch = tm.shuffleReadMetrics.fetchWaitTime / 1e3
           val key = si.name.split(" at ").lastOption.getOrElse(si.name)
-          stageAgg.merge(key, (1, wall, task),
-            (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+          stageAgg.merge(key, (1, wall, task, gc, deser, fetch),
+            (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4,
+              a._5 + b._5, a._6 + b._6))
         }
       })
     def dumpStages(): Unit = {
       import scala.jdk.CollectionConverters._
       stageAgg.asScala.toSeq.sortBy(-_._2._2).take(14).foreach {
-        case (k, (n, w, t)) =>
-          println(f"[benchextra]   stage $k%-40s n=$n%4d wall=$w%7.2f task=$t%7.2f")
+        case (k, (n, w, t, gc, de, fw)) =>
+          println(f"[benchextra]   stage $k%-40s n=$n%4d wall=$w%7.2f task=$t%7.2f gc=$gc%6.2f deser=$de%6.2f fetchw=$fw%6.2f")
       }
       stageAgg.clear()
     }
@@ -80,6 +85,8 @@ object BenchExtra {
       case "pprjoin" =>
         val g = SparkEntry.derivedGraph(spark, sfDir)
         g.numEdges; g.csrZip.count() // shared build excluded from timing
+        val bodyAcc = spark.sparkContext.longAccumulator("bodyNanos")
+        ForwardPush.bodyNanosAcc = Some(bodyAcc)
         val rmax = 1e-9 / (g.numEdges + g.numVertices).toDouble
         val res = timed(s"pprjoin chain=$chain") {
           val r = ForwardPush.runJoin(g, Map(0 -> 1L), alpha = 0.2,
@@ -89,6 +96,8 @@ object BenchExtra {
         }
         println(s"[benchextra] supersteps=${res.supersteps} " +
           s"pushes=${res.pushes} rsum=${res.rsum}")
+        println(f"[benchextra] closure body total ${bodyAcc.value / 1e9}%.2f s")
+        ForwardPush.bodyNanosAcc = None
         dumpStages()
       case "bpushjoin" =>
         val g = SparkEntry.derivedGraph(spark, sfDir)

@@ -407,7 +407,9 @@ object BackwardPush {
         sc.longAccumulator(s"bremote_${step}_$r"))
       var out = state
       (0 until rounds).foreach { r =>
-        val routed = out.partitionBy(vpart)
+        // sort-writer exchange (see ForwardPush.routeBatches): batch
+        // concat per dest — row multiset unchanged, cascade sorts
+        val routed = ForwardPush.routeBatches(out, vpart)
         // capture only this round's accumulators (minimal task binary)
         val pushAcc = pushAccs(r)
         val remoteAcc = remoteAccs(r)
@@ -444,76 +446,126 @@ object BackwardPush {
     Result(finalState, rsum, step, totalPushes)
   }
 
+  /** Primitive-array rewrite of the boxed cascade (round 6 — see
+    * ForwardPush.cascade's equivalence notes; the backward thresholds are
+    * flat rmax and entries carry weights, otherwise the operation order
+    * is reproduced identically, so results are bitwise unchanged). */
   private def cascade(part: Int, states: Iterator[BState],
                       block: Option[BCsr], alpha: Double, rmax: Double,
                       p: Int, onPush: Long => Unit, onRemote: Long => Unit)
       : Iterator[BRow] = {
+    import graft.util.Prim
     val srcIds = block.map(_.srcIds).getOrElse(Array.empty[Long])
     val offsets = block.map(_.offsets).getOrElse(Array.empty[Int])
     val dsts = block.map(_.dsts).getOrElse(Array.empty[Long])
     val wts = block.map(_.wts).getOrElse(Array.empty[Double])
 
-    val rows = states.toArray
-    if (rows.isEmpty) { onPush(0L); onRemote(0L); return Iterator.empty }
-    java.util.Arrays.sort(rows, Ordering.by((s: BState) =>
-      (s.qid, s.vid, s.reserve, s.residue)))
-    val acc = mutable.LinkedHashMap.empty[(Int, Long), Array[Double]]
-    rows.foreach { s =>
-      val a = acc.getOrElseUpdate((s.qid, s.vid), Array(0.0, 0.0))
-      a(0) += s.reserve; a(1) += s.residue
+    val in = new Prim.PairRows(256)
+    states.foreach(s => in.append(s.qid, s.vid, s.reserve, s.residue))
+    if (in.n == 0) { onPush(0L); onRemote(0L); return Iterator.empty }
+    if (in.n > 1) Prim.sort4p(in.qids, in.vids, in.a, in.b, 0, in.n - 1)
+
+    val map = new Prim.PairSlotMap(in.n)
+    val store = new Prim.PairRows(in.n)
+    var degIdx = new Array[Int](store.qids.length)
+    java.util.Arrays.fill(degIdx, -2)
+    def slotOf(q: Int, v: Long): Int = {
+      val s = map.getOrInsert(q, v, store.n)
+      if (s == store.n) {
+        store.append(q, v, 0.0, 0.0)
+        if (degIdx.length < store.qids.length) {
+          val old = degIdx.length
+          degIdx = java.util.Arrays.copyOf(degIdx, store.qids.length)
+          java.util.Arrays.fill(degIdx, old, degIdx.length, -2)
+        }
+      }
+      s
     }
-    val queue = mutable.ArrayDeque.empty[(Int, Long)]
-    val queued = mutable.HashSet.empty[(Int, Long)]
-    acc.keysIterator.toArray.sortBy(identity).foreach { k =>
-      if (acc(k)(1) > rmax) { queue.append(k); queued += k }
+    def idxOf(s: Int): Int = {
+      if (degIdx(s) == -2) {
+        val r = java.util.Arrays.binarySearch(srcIds, store.vids(s))
+        degIdx(s) = if (r >= 0) r else -1
+      }
+      degIdx(s)
     }
-    val remote = mutable.LinkedHashMap.empty[(Int, Long), Double]
+
+    var i = 0
+    while (i < in.n) {
+      val s = slotOf(in.qids(i), in.vids(i))
+      store.a(s) += in.a(i); store.b(s) += in.b(i)
+      i += 1
+    }
+
+    val queue = new Prim.IntQueue(64)
+    val inQ = new java.util.BitSet(store.n + 64)
+    var s0 = 0
+    while (s0 < store.n) {
+      if (store.b(s0) > rmax) { queue.add(s0); inQ.set(s0) }
+      s0 += 1
+    }
+
+    val remoteMap = new Prim.PairSlotMap(64)
+    val remote = new Prim.PairRows(64)
     var pushes = 0L
     while (queue.nonEmpty) {
-      val k = queue.removeHead(); queued -= k
-      val (qid, vid) = k
-      val a = acc(k)
-      val r = a(1)
+      val s = queue.poll()
+      inQ.clear(s)
+      val r = store.b(s)
       if (r > rmax) {
         pushes += 1
-        val idx = java.util.Arrays.binarySearch(srcIds, vid)
+        val idx = idxOf(s)
+        val vid = store.vids(s)
         // self-loop entries make the dangling geometric series explicit;
         // detect pure self-loop rows for the closed form
         if (idx >= 0 && offsets(idx + 1) - offsets(idx) == 1 &&
             dsts(offsets(idx)) == vid && wts(offsets(idx)) == 1.0) {
-          a(0) += r; a(1) = 0.0 // absorb closed form
+          store.a(s) += r; store.b(s) = 0.0 // absorb closed form
         } else {
-          a(0) += alpha * r
-          a(1) = 0.0
+          store.a(s) += alpha * r
+          store.b(s) = 0.0
           if (idx >= 0) {
-            var i = offsets(idx)
-            while (i < offsets(idx + 1)) {
-              val u = dsts(i); val m = (1.0 - alpha) * r * wts(i)
+            val qid = store.qids(s)
+            var e = offsets(idx)
+            val end = offsets(idx + 1)
+            while (e < end) {
+              val u = dsts(e); val m = (1.0 - alpha) * r * wts(e)
               if (Hashing.partOf(u, p) == part) {
-                val kk = (qid, u)
-                val aa = acc.getOrElseUpdate(kk, Array(0.0, 0.0))
-                aa(1) += m
-                if (aa(1) > rmax && !queued.contains(kk)) {
-                  queue.append(kk); queued += kk
+                val s2 = slotOf(qid, u)
+                store.b(s2) += m
+                if (store.b(s2) > rmax && !inQ.get(s2)) {
+                  queue.add(s2); inQ.set(s2)
                 }
-              } else remote.updateWith((qid, u)) {
-                case Some(x) => Some(x + m); case None => Some(m) }
-              i += 1
+              } else {
+                val rs = remoteMap.getOrInsert(qid, u, remote.n)
+                if (rs == remote.n) remote.append(qid, u, 0.0, 0.0)
+                remote.b(rs) += m
+              }
+              e += 1
             }
           }
         }
       }
     }
     onPush(pushes)
-    onRemote(remote.size.toLong)
-    val local = acc.iterator
-      .filter { case (_, a) => a(0) != 0.0 || a(1) != 0.0 }
-      .map { case ((q, v), a) => BRow(q, v, a(0), a(1), delta = false) }
-      .toArray.sortBy(r => (r.qid, r.vid))
-    val rem = remote.iterator
-      .map { case ((q, v), m) => BRow(q, v, 0.0, m, delta = true) }
-      .toArray.sortBy(r => (r.qid, r.vid))
-    (local ++ rem).iterator
+    onRemote(remote.n.toLong)
+    val local = new Prim.PairRows(store.n)
+    i = 0
+    while (i < store.n) {
+      if (store.a(i) != 0.0 || store.b(i) != 0.0)
+        local.append(store.qids(i), store.vids(i), store.a(i), store.b(i))
+      i += 1
+    }
+    if (local.n > 1)
+      Prim.sort4p(local.qids, local.vids, local.a, local.b, 0, local.n - 1)
+    if (remote.n > 1)
+      Prim.sort4p(remote.qids, remote.vids, remote.a, remote.b, 0,
+        remote.n - 1)
+    Iterator.range(0, local.n).map(j =>
+      BRow(local.qids(j), local.vids(j), local.a(j), local.b(j),
+        delta = false)) ++
+      Iterator.range(0, remote.n).map(j =>
+        BRow(remote.qids(j), remote.vids(j), 0.0, remote.b(j),
+          delta = true))
   }
 
   /** BiPPR pair query (SURVEY.md O16): π̂(s,t) = π°_t(s) +

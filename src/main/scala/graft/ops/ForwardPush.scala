@@ -478,6 +478,11 @@ object ForwardPush {
     *   graphs, dominating the ~120-superstep deterministic runs; VERDICT
     *   r4 #6). With `ckpt` defined the chain is forced to 1 so every
     *   superstep commits durably (north rule N9). */
+  /** Diagnostic hook (BenchExtra only): when set, accumulates the
+    * in-closure nanos of each join-path superstep task body. */
+  private[graft] var bodyNanosAcc
+      : Option[org.apache.spark.util.LongAccumulator] = None
+
   def runJoin(graph: LinkGraph, sources: Map[Int, Long], alpha: Double,
               rmax: Double, ckpt: Option[CheckpointStore] = None,
               resume: Boolean = false, maxSupersteps: Int = 10000,
@@ -519,7 +524,7 @@ object ForwardPush {
         sc.longAccumulator(s"remoteDeltas_${step}_$r"))
       var out = state
       (0 until rounds).foreach { r =>
-        val routed = out.partitionBy(vpart)
+        val routed = routeBatches(out, vpart)
         // capture ONLY this round's accumulators (not the whole epoch
         // arrays) so each stage's task binary stays minimal
         val pushAcc = pushAccs(r)
@@ -528,15 +533,20 @@ object ForwardPush {
         // keys are DESTINATION parts (remote deltas included), so it
         // does not satisfy vpart's contract — claiming it would make
         // the next partitionBy(vpart) short-circuit the exchange
+        val bodyAcc = bodyNanosAcc
         out = routed.zipPartitions(csrZip, preservesPartitioning = false) {
           (sIt, bIt) =>
+            val tB0 = System.nanoTime()
             val pid = org.apache.spark.TaskContext.getPartitionId()
-            packByDest(
+            val res = packByDest(
               cascade(pid,
                 unpackBatches(sIt).map(t => StateIn(t._1, t._2, t._3, t._4)),
                 bIt.buffered.headOption, alpha, rmax, p,
                 pushAcc.add(_), remoteAcc.add(_), noMetrics)
                 .map(pr => (pr.qid, pr.vid, pr.reserve, pr.residue)), p)
+              .toArray
+            bodyAcc.foreach(_.add(System.nanoTime() - tB0))
+            res.iterator
         }
       }
       val ck = out.localCheckpoint()
@@ -571,6 +581,43 @@ object ForwardPush {
   final case class StateBatch(qids: Array[Int], vids: Array[Long],
                               reserves: Array[Double],
                               residues: Array[Double])
+
+  /** Concatenate two state batches (the per-round exchange's reduce-side
+    * combiner). Row ORDER inside a batch is immaterial: the cascade sorts
+    * its input by (qid, vid, reserve, residue) before any accumulation,
+    * so any concatenation order yields the same multiset and therefore
+    * bitwise-identical results. */
+  private[ops] def concatBatches(x: StateBatch, y: StateBatch): StateBatch = {
+    val n = x.vids.length + y.vids.length
+    val q = java.util.Arrays.copyOf(x.qids, n)
+    System.arraycopy(y.qids, 0, q, x.qids.length, y.qids.length)
+    val v = java.util.Arrays.copyOf(x.vids, n)
+    System.arraycopy(y.vids, 0, v, x.vids.length, y.vids.length)
+    val re = java.util.Arrays.copyOf(x.reserves, n)
+    System.arraycopy(y.reserves, 0, re, x.reserves.length, y.reserves.length)
+    val rs = java.util.Arrays.copyOf(x.residues, n)
+    System.arraycopy(y.residues, 0, rs, x.residues.length, y.residues.length)
+    StateBatch(q, v, re, rs)
+  }
+
+  /** Route batches to their destination part. A plain partitionBy picks
+    * the bypass-merge shuffle writer, which creates one temp file per
+    * reduce partition per map task (p² file creates per round) — on a
+    * slow-metadata FS that machinery, not compute, dominated the
+    * ~100 ms/round floor (measured: closure body 13.7 s of 142 s task
+    * time). Declaring a map-side combiner forces the sort-based writer —
+    * ONE data + index file per map task — and merely concatenates
+    * batches per destination (row multiset unchanged ⇒ results bitwise
+    * unchanged; see concatBatches). */
+  private[ops] def routeBatches(
+      rdd: org.apache.spark.rdd.RDD[(Int, StateBatch)],
+      vpart: org.apache.spark.Partitioner)
+      : org.apache.spark.rdd.RDD[(Int, StateBatch)] = {
+    import org.apache.spark.rdd.RDD.rddToPairRDDFunctions
+    rdd.combineByKeyWithClassTag[StateBatch](
+      (b: StateBatch) => b, concatBatches, concatBatches,
+      vpart, mapSideCombine = true)
+  }
 
   /** Group (qid, vid, reserve, residue) rows into one StateBatch per
     * destination part (dest = the cascade's own routing key
@@ -691,98 +738,158 @@ object ForwardPush {
     acc.value.asScala.toSeq
   }
 
-  /** Sequential, deterministic push cascade within one partition. */
+  /** Sequential, deterministic push cascade within one partition.
+    *
+    * Primitive-array implementation (round 6, guide §1.2 "per-task
+    * work"): the boxed form (tuple-keyed LinkedHashMap + Option-churning
+    * updateWith) cost ~120 ms/task against a ~12 ms stage floor — at
+    * p=16 roughly (p−1)/p of all deposits are remote, and each paid a
+    * tuple + Some + boxed-double allocation. This form does the SAME
+    * operations in the SAME order on flat arrays:
+    *   - input rows sorted by (qid, vid, reserve, residue) (sort4p uses
+    *     Double.compare — the boxed Ordering[Double]'s total order);
+    *   - accumulation per key in sorted row order, keys first-touch
+    *     appended ⇒ slot order == sorted unique-key order, so seeding the
+    *     queue by slot index reproduces the boxed sorted-key seeding;
+    *   - FIFO queue of slots, deposits in CSR slab order, remote sums in
+    *     deposit order — float-accumulation order identical throughout;
+    *   - output local-then-remote, each sorted by (qid, vid).
+    * Results are bitwise unchanged (join-vs-fast path equivalence spec +
+    * the g_ppr_join / b_push_join oracles pin this). */
   private def cascade(part: Int, states: Iterator[StateIn],
                       block: Option[CsrBlock], alpha: Double, rmax: Double,
                       p: Int, onPush: Long => Unit,
                       onRemote: Long => Unit, onMetrics: PartMetrics => Unit)
       : Iterator[PushRow] = {
+    import graft.util.Prim
     val srcIds = block.map(_.srcIds).getOrElse(Array.empty[Long])
     val offsets = block.map(_.offsets).getOrElse(Array.empty[Int])
     val dsts = block.map(_.dsts).getOrElse(Array.empty[Long])
 
-    def degOf(idx: Int): Int = offsets(idx + 1) - offsets(idx)
-    def threshold(deg: Int): Double = rmax * math.max(deg, 1)
-
-    // deterministic merge of incoming rows
-    val rows = states.toArray
-    if (rows.isEmpty) { // CSR-only part with no state this superstep
+    val in = new Prim.PairRows(256)
+    states.foreach(s => in.append(s.qid, s.vid, s.reserve, s.residue))
+    if (in.n == 0) { // CSR-only part with no state this superstep
       onPush(0L); onRemote(0L)
       return Iterator.empty
     }
-    java.util.Arrays.sort(rows, Ordering.by((s: StateIn) =>
-      (s.qid, s.vid, s.reserve, s.residue)))
-    val acc = mutable.LinkedHashMap.empty[(Int, Long), Array[Double]] // (reserve, residue)
-    rows.foreach { s =>
-      val a = acc.getOrElseUpdate((s.qid, s.vid), Array(0.0, 0.0))
-      a(0) += s.reserve; a(1) += s.residue
+    if (in.n > 1) Prim.sort4p(in.qids, in.vids, in.a, in.b, 0, in.n - 1)
+
+    val map = new Prim.PairSlotMap(in.n)
+    val store = new Prim.PairRows(in.n)
+    // csr index per slot, memoized (-2 unknown, -1 absent): the boxed
+    // form re-ran the binary search per threshold check — same value
+    var degIdx = new Array[Int](store.qids.length)
+    java.util.Arrays.fill(degIdx, -2)
+    def slotOf(q: Int, v: Long): Int = {
+      val s = map.getOrInsert(q, v, store.n)
+      if (s == store.n) {
+        store.append(q, v, 0.0, 0.0)
+        if (degIdx.length < store.qids.length) {
+          val old = degIdx.length
+          degIdx = java.util.Arrays.copyOf(degIdx, store.qids.length)
+          java.util.Arrays.fill(degIdx, old, degIdx.length, -2)
+        }
+      }
+      s
+    }
+    def idxOf(s: Int): Int = {
+      if (degIdx(s) == -2) {
+        val r = java.util.Arrays.binarySearch(srcIds, store.vids(s))
+        degIdx(s) = if (r >= 0) r else -1
+      }
+      degIdx(s)
+    }
+    def degOfSlot(s: Int): Int = {
+      val idx = idxOf(s)
+      if (idx >= 0) offsets(idx + 1) - offsets(idx) else 0
+    }
+    def thresholdOf(s: Int): Double = rmax * math.max(degOfSlot(s), 1)
+
+    var i = 0
+    while (i < in.n) {
+      val s = slotOf(in.qids(i), in.vids(i))
+      store.a(s) += in.a(i); store.b(s) += in.b(i)
+      i += 1
     }
 
-    val queue = mutable.ArrayDeque.empty[(Int, Long)]
-    val queued = mutable.HashSet.empty[(Int, Long)]
-    acc.keysIterator.toArray.sortBy(identity).foreach { k =>
-      val vid = k._2
-      val idx = java.util.Arrays.binarySearch(srcIds, vid)
-      val deg = if (idx >= 0) degOf(idx) else 0
-      if (acc(k)(1) > threshold(deg)) { queue.append(k); queued += k }
+    // slots were appended first-touch over sorted input ⇒ slot order is
+    // the boxed form's sorted unique-key seeding order
+    val queue = new Prim.IntQueue(64)
+    val inQ = new java.util.BitSet(store.n + 64)
+    var s0 = 0
+    while (s0 < store.n) {
+      if (store.b(s0) > thresholdOf(s0)) { queue.add(s0); inQ.set(s0) }
+      s0 += 1
     }
 
-    val remote = mutable.LinkedHashMap.empty[(Int, Long), Double]
+    val remoteMap = new Prim.PairSlotMap(64)
+    val remote = new Prim.PairRows(64)
     var pushes = 0L
     while (queue.nonEmpty) {
-      val k = queue.removeHead()
-      queued -= k
-      val (qid, vid) = k
-      val a = acc(k)
-      val r = a(1)
-      val idx = java.util.Arrays.binarySearch(srcIds, vid)
-      val deg = if (idx >= 0) degOf(idx) else 0
-      if (r > threshold(deg)) {
+      val s = queue.poll()
+      inQ.clear(s)
+      val r = store.b(s)
+      if (r > thresholdOf(s)) {
         pushes += 1
+        val idx = idxOf(s)
+        val deg = if (idx >= 0) offsets(idx + 1) - offsets(idx) else 0
         if (deg == 0) { // dangling absorbs: closed-form self-loop pushes
-          a(0) += r
-          a(1) = 0.0
+          store.a(s) += r
+          store.b(s) = 0.0
         } else {
-        a(0) += alpha * r
-        a(1) = 0.0
-        val spread = (1.0 - alpha) * r
-        def deposit(qd: Int, dv: Long, m: Double): Unit = {
-          if (Hashing.partOf(dv, p) == part) {
-            val kk = (qd, dv)
-            val aa = acc.getOrElseUpdate(kk, Array(0.0, 0.0))
-            aa(1) += m
-            val di = java.util.Arrays.binarySearch(srcIds, dv)
-            val dd = if (di >= 0) degOf(di) else 0
-            if (aa(1) > threshold(dd) && !queued.contains(kk)) {
-              queue.append(kk); queued += kk
+          store.a(s) += alpha * r
+          store.b(s) = 0.0
+          val spread = (1.0 - alpha) * r
+          val share = spread / deg
+          val qid = store.qids(s)
+          var e = offsets(idx)
+          val end = offsets(idx + 1)
+          while (e < end) {
+            val dv = dsts(e)
+            if (Hashing.partOf(dv, p) == part) {
+              val s2 = slotOf(qid, dv)
+              store.b(s2) += share
+              if (store.b(s2) > thresholdOf(s2) && !inQ.get(s2)) {
+                queue.add(s2); inQ.set(s2)
+              }
+            } else {
+              val rs = remoteMap.getOrInsert(qid, dv, remote.n)
+              if (rs == remote.n) remote.append(qid, dv, 0.0, 0.0)
+              remote.b(rs) += share
             }
-          } else {
-            remote.updateWith((qd, dv)) {
-              case Some(x) => Some(x + m); case None => Some(m) }
-            ()
+            e += 1
           }
-        }
-        val share = spread / deg
-        var i = offsets(idx)
-        while (i < offsets(idx + 1)) { deposit(qid, dsts(i), share); i += 1 }
         }
       }
     }
 
     onPush(pushes)
-    onRemote(remote.size.toLong)
+    onRemote(remote.n.toLong)
     var rsumLocal = 0.0
-    acc.valuesIterator.foreach(a => rsumLocal += a(1))
-    onMetrics(PartMetrics(part, acc.size.toLong, pushes, 0L, rsumLocal))
+    i = 0
+    while (i < store.n) { rsumLocal += store.b(i); i += 1 }
+    onMetrics(PartMetrics(part, store.n.toLong, pushes, 0L, rsumLocal))
 
-    val local = acc.iterator
-      .filter { case (_, a) => a(0) != 0.0 || a(1) != 0.0 }
-      .map { case ((q, v), a) => PushRow(q, v, a(0), a(1), delta = false) }
-      .toArray.sortBy(r => (r.qid, r.vid))
-    val rem = remote.iterator
-      .map { case ((q, v), m) => PushRow(q, v, 0.0, m, delta = true) }
-      .toArray.sortBy(r => (r.qid, r.vid))
-    (local ++ rem).iterator
+    // output: nonzero local rows then remote deltas, each (qid, vid)-
+    // sorted — exactly the boxed form's emission order
+    val local = new Prim.PairRows(store.n)
+    i = 0
+    while (i < store.n) {
+      if (store.a(i) != 0.0 || store.b(i) != 0.0)
+        local.append(store.qids(i), store.vids(i), store.a(i), store.b(i))
+      i += 1
+    }
+    if (local.n > 1)
+      Prim.sort4p(local.qids, local.vids, local.a, local.b, 0, local.n - 1)
+    if (remote.n > 1)
+      Prim.sort4p(remote.qids, remote.vids, remote.a, remote.b, 0,
+        remote.n - 1)
+    Iterator.range(0, local.n).map(j =>
+      PushRow(local.qids(j), local.vids(j), local.a(j), local.b(j),
+        delta = false)) ++
+      Iterator.range(0, remote.n).map(j =>
+        PushRow(remote.qids(j), remote.vids(j), 0.0, remote.b(j),
+          delta = true))
   }
 
   /** Deterministic PPR to additive tolerance `tol` (SURVEY.md O17 note):

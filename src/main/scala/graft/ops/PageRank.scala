@@ -215,13 +215,28 @@ object PageRank {
             (dp, (myPart, db.result(), vb.result()))
           }
         }
-      }.partitionBy(vpart)
+      }
+      // sort-writer exchange (see ForwardPush.routeBatches): a plain
+      // partitionBy picks the bypass-merge writer (p temp files per map
+      // task per iteration); a map-side list combiner forces the
+      // single-file sort writer. The merge below sorts messages by
+      // source part, so combination order is immaterial — results
+      // bitwise unchanged.
+      val routedMsgs = {
+        import org.apache.spark.rdd.RDD.rddToPairRDDFunctions
+        type Msg = (Int, Array[Long], Array[Double])
+        msgs.combineByKeyWithClassTag[List[Msg]](
+          (m: Msg) => List(m),
+          (acc: List[Msg], m: Msg) => m :: acc,
+          (a: List[Msg], b: List[Msg]) => a ::: b,
+          vpart, mapSideCombine = true)
+      }
 
       // merge: sorted by source part, added in ascending dst order
-      val merged = vidBlocks.zipPartitions(msgs) { (vIt, mIt) =>
+      val merged = vidBlocks.zipPartitions(routedMsgs) { (vIt, mIt) =>
         val vids = vIt.next()
         val contrib = new Array[Double](vids.length)
-        val inc = mIt.map(_._2).toArray.sortBy(_._1)
+        val inc = mIt.flatMap(_._2).toArray.sortBy(_._1)
         var k = 0
         while (k < inc.length) {
           val (_, ds, vs) = inc(k)

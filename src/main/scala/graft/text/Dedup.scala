@@ -105,7 +105,7 @@ object Dedup {
                    idCol: String = "doc_id", textCol: String = "text")
       : DataFrame =
     jaccardFromTokens(docs.select(col(idCol).as("id"),
-      explode(tokens(col(textCol))).as("tok")), threshold)
+      tokens(col(textCol)).as("toks")), threshold)
 
   /** Character-shingle (n-gram) Jaccard pairs — the dedup signal for
     * texts without clean word boundaries; same all-pairs shape as
@@ -115,23 +115,31 @@ object Dedup {
                         idCol: String = "doc_id", textCol: String = "text")
       : DataFrame =
     jaccardFromTokens(docs.select(col(idCol).as("id"),
-      explode(charNgrams(col(textCol), n)).as("tok")), threshold)
+      charNgrams(col(textCol), n).as("toks")), threshold)
 
-  /** Shared Jaccard scorer over exploded (id, tok) rows (tok distinct
-    * per id). The token frame feeds THREE scans (sizes + both sides of
-    * the self-join) — pin it so tokenization/shingling runs once
-    * (round 6, guide §1.2). */
+  /** Shared Jaccard scorer over (id, distinct-token-array) rows.
+    *
+    * Round 6 (guide §1.2): pair-local form replacing the exploded token
+    * self-join. On a shared-vocabulary corpus the token join generated
+    * Σ_tok freq(tok)² intermediate rows to reach the same pair set (the
+    * audit sample: 4.4M joined rows → 125k pairs from 31 distinct
+    * tokens); the all-pairs array-intersect computes each pair once.
+    * Values are identical: common = |ta ∩ tb| on distinct arrays and
+    * the denominator stays sza + szb − common, so the division takes
+    * the exact same integer inputs. Docs whose token array is null
+    * (null text) drop out of both forms, and empty-array pairs yield
+    * jaccard 0 (or NaN for empty-empty), filtered by any threshold > 0
+    * — the exploded form simply never emitted them. Both forms are
+    * O(pairs) all-pairs by design (this is the exact/oracle primitive;
+    * candidate generation at scale is the LSH/banding job). */
   private def jaccardFromTokens(toksIn: DataFrame, threshold: Double)
       : DataFrame = {
-    val toks = toksIn.localCheckpoint(true)
-    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val common = toks.as("x").join(toks.as("y"),
-        col("x.tok") === col("y.tok") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("id").as("a"), col("sz").as("sza")), "a")
-      .join(sizes.select(col("id").as("b"), col("sz").as("szb")), "b")
+    // pin: the array frame feeds both sides of the pair join
+    val t = toksIn.localCheckpoint(true)
+    t.as("x").join(t.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        size(array_intersect(col("x.toks"), col("y.toks"))).as("common"),
+        size(col("x.toks")).as("sza"), size(col("y.toks")).as("szb"))
       .select(col("a"), col("b"),
         (col("common").cast("double") /
           (col("sza") + col("szb") - col("common"))).as("jaccard"))
