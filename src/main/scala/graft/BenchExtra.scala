@@ -146,6 +146,61 @@ object BenchExtra {
             .write.format("noop").mode("overwrite").save()
         } finally graft.ops.ConnectedComponents.DenseMaxUndEdges = saved
         dumpStages()
+      case "neardup" =>
+        import org.apache.spark.sql.functions._
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val sample = docs.where(col("doc_id") % 10 === 0)
+          .localCheckpoint(true)
+        (1 to 2).foreach { i =>
+          timed(s"exact jaccardPairs(0.8) #$i") {
+            graft.text.Dedup.jaccardPairs(sample, threshold = 0.8)
+              .write.format("noop").mode("overwrite").save()
+          }
+        }
+        (1 to 2).foreach { i =>
+          timed(s"lsh nearDuplicates(0.8) #$i") {
+            graft.text.Dedup.nearDuplicates(sample, threshold = 0.8)
+              .write.format("noop").mode("overwrite").save()
+          }
+        }
+        timed("full audit shape") {
+          val lsh = graft.text.Dedup.nearDuplicates(sample, threshold = 0.8)
+            .select(col("a"), col("b")).localCheckpoint(true)
+          val exact = graft.text.Dedup.jaccardPairs(sample, threshold = 0.8)
+            .select(col("a"), col("b")).localCheckpoint(true)
+          exact.agg(count(lit(1)).as("n_exact"))
+            .crossJoin(lsh.except(exact).agg(count(lit(1)).as("n_fp")))
+            .crossJoin(exact.except(lsh).agg(count(lit(1)).as("n_miss")))
+            .write.format("noop").mode("overwrite").save()
+        }
+        dumpStages()
+      case "neardup2" =>
+        import org.apache.spark.sql.functions._
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val sample = docs.where(col("doc_id") % 10 === 0)
+          .localCheckpoint(true)
+        sample.count()
+        (1 to 2).foreach { i =>
+          val t = timed(s"#$i tokenize+ckpt") {
+            val x = sample.select(col("doc_id").as("id"),
+              array_distinct(split(lower(col("text")), " ")).as("toks"))
+              .repartition(col("id")).localCheckpoint(true)
+            x.count(); x
+          }
+          timed(s"#$i pair join condition only") {
+            t.as("x").join(broadcast(t.as("y")), col("x.id") < col("y.id"))
+              .select(col("x.id"), col("y.id"))
+              .write.format("noop").mode("overwrite").save()
+          }
+          timed(s"#$i pair join + intersect") {
+            t.as("x").join(broadcast(t.as("y")), col("x.id") < col("y.id"))
+              .select(col("x.id").as("a"), col("y.id").as("b"),
+                size(array_intersect(col("x.toks"), col("y.toks")))
+                  .as("common"))
+              .write.format("noop").mode("overwrite").save()
+          }
+        }
+        dumpStages()
       case "stagefloor" =>
         // pure per-round scheduling/shuffle floor: `chain` chained
         // 16-task shuffle rounds over near-empty data, one job

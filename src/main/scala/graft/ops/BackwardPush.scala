@@ -242,11 +242,17 @@ object BackwardPush {
     var totalPushes = 0L
     while (!converged && step < maxSupersteps) {
       val rounds = math.min(chainLen, maxSupersteps - step)
-      val pushAcc = sc.longAccumulator(s"bfpushes_$step")
-      val remoteAcc = sc.longAccumulator(s"bfremote_$step")
+      // per-round accumulators + last-round-quiet convergence (see
+      // ForwardPush.runFastK): skips the all-no-op trailing epoch
+      val pushAccs = Array.tabulate(rounds)(r =>
+        sc.longAccumulator(s"bfpushes_${step}_$r"))
+      val remoteAccs = Array.tabulate(rounds)(r =>
+        sc.longAccumulator(s"bfremote_${step}_$r"))
       var out = state
-      (0 until rounds).foreach { _ =>
-        out = out.map(r => (r.key, r)).partitionBy(vp)
+      (0 until rounds).foreach { r =>
+        val pushAcc = pushAccs(r)
+        val remoteAcc = remoteAccs(r)
+        out = out.map(kr => (kr.key, kr)).partitionBy(vp)
           .mapPartitions({ it =>
             cascadeFastB(it.map(_._2), csrB.value, alpha, rmax, p,
               pushAcc.add(_), remoteAcc.add(_))
@@ -257,8 +263,8 @@ object BackwardPush {
       pinned.foreach(_.unpersist(blocking = false))
       pinned = Some(ck)
       state = ck
-      totalPushes += pushAcc.value
-      converged = remoteAcc.value == 0 && pushAcc.value == 0
+      totalPushes += pushAccs.map(_.value.toLong).sum
+      converged = remoteAccs(rounds - 1).value == 0
       step += rounds
     }
     val finalState = ForwardPush.unpackK(spark,

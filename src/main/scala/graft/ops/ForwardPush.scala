@@ -250,14 +250,26 @@ object ForwardPush {
     while (!converged && step < maxSupersteps) {
       val tEpoch0 = System.nanoTime()
       val rounds = math.min(chainLen, maxSupersteps - step)
-      val pushAcc = sc.longAccumulator(s"fpushes_$step")
-      val remoteAcc = sc.longAccumulator(s"fremote_$step")
+      // per-ROUND accumulators (round 6): with one epoch-level pair the
+      // convergence test had to demand push==0 over the whole epoch, so
+      // a run whose last real work happened mid-epoch paid one extra
+      // all-no-op epoch just to observe quiescence. The last chained
+      // round being remote-quiet is already the fixpoint proof (every
+      // partition's cascade exits at local quiescence and nothing is in
+      // flight — the runJoin rule); state content is unchanged either
+      // way, the empty trailing epoch is simply not scheduled.
+      val pushAccs = Array.tabulate(rounds)(r =>
+        sc.longAccumulator(s"fpushes_${step}_$r"))
+      val remoteAccs = Array.tabulate(rounds)(r =>
+        sc.longAccumulator(s"fremote_${step}_$r"))
       val epochCaches =
         scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
       var b = blocks
       var f = frontier
-      (0 until rounds).foreach { _ =>
+      (0 until rounds).foreach { r =>
         val fP = f.partitionBy(vp)
+        val pushAcc = pushAccs(r)
+        val remoteAcc = remoteAccs(r)
         // out: one (newBlock, remoteKeys, remoteResidues) per partition;
         // persisted deserialized so both consumers below read references
         val out = b.zipPartitions(fP) { (bIt, dIt) =>
@@ -284,8 +296,8 @@ object ForwardPush {
         Iterator.single(0)
       }.count()
       epochCaches.foreach(_.unpersist(blocking = false))
-      totalPushes += pushAcc.value
-      converged = remoteAcc.value == 0 && pushAcc.value == 0
+      totalPushes += pushAccs.map(_.value.toLong).sum
+      converged = remoteAccs(rounds - 1).value == 0
       step += rounds
       epochSecs += (System.nanoTime() - tEpoch0) / 1e9
     }

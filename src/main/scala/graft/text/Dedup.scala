@@ -134,9 +134,12 @@ object Dedup {
     * candidate generation at scale is the LSH/banding job). */
   private def jaccardFromTokens(toksIn: DataFrame, threshold: Double)
       : DataFrame = {
-    // pin: the array frame feeds both sides of the pair join
-    val t = toksIn.localCheckpoint(true)
-    t.as("x").join(t.as("y"), col("x.id") < col("y.id"))
+    // pin: the array frame feeds both sides of the pair join. The
+    // streamed side is spread by id (the per-pair intersect work ran as
+    // ONE task off the sampled scan's single partition); the inner side
+    // is broadcast — the small-corpus contract of this primitive.
+    val t = toksIn.repartition(col("id")).localCheckpoint(true)
+    t.as("x").join(broadcast(t.as("y")), col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         size(array_intersect(col("x.toks"), col("y.toks"))).as("common"),
         size(col("x.toks")).as("sza"), size(col("y.toks")).as("szb"))
