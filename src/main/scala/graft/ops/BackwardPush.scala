@@ -73,10 +73,21 @@ object BackwardPush {
       spark.read.parquet(path).as[BCsr]
     else {
       val p = graph.numParts
-      val entries = graph.edges.toDF()
-        .join(graph.outDegrees.select($"vid".as("src"), $"outDeg"), "src")
-        .select($"dst".as("v"), $"src".as("u"),
-          (lit(1.0) / $"outDeg").as("w"))
+      // entries straight off the cached CSR blocks (round 6, guide
+      // §1.2): a source's out-degree IS its slab length, so the old
+      // edges ⋈ outDegrees join (a full edge-set join per build) is a
+      // narrow flatMap; weights are the identical 1.0/outDeg division.
+      // Dangling self-loop rows still come from outDegrees (the only
+      // place outDeg = 0 vertices exist).
+      val entries = graph.csr.flatMap { b =>
+        Iterator.range(0, b.srcIds.length).flatMap { i =>
+          val u = b.srcIds(i)
+          val deg = b.offsets(i + 1) - b.offsets(i)
+          val w = 1.0 / deg
+          Iterator.range(b.offsets(i), b.offsets(i + 1))
+            .map(j => (b.dsts(j), u, w))
+        }
+      }.toDF("v", "u", "w")
         .unionByName(graph.outDegrees.where($"outDeg" === 0)
           .select($"vid".as("v"), $"vid".as("u"), lit(1.0).as("w")))
       val built = entries

@@ -137,8 +137,15 @@ object Dedup {
     // pin: the array frame feeds both sides of the pair join. The
     // streamed side is spread by id (the per-pair intersect work ran as
     // ONE task off the sampled scan's single partition); the inner side
-    // is broadcast — the small-corpus contract of this primitive.
-    val t = toksIn.repartition(col("id")).localCheckpoint(true)
+    // is broadcast — the small-corpus contract of this primitive. The
+    // width is pinned explicitly (session shuffle-partition conf): a
+    // bare keyed repartition of a few hundred rows is AQE-coalesced
+    // back to one partition, which re-serializes the O(rows²) intersect
+    // work onto one task.
+    val t = toksIn.repartition(
+        toksIn.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id"))
+      .localCheckpoint(true)
     t.as("x").join(broadcast(t.as("y")), col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         size(array_intersect(col("x.toks"), col("y.toks"))).as("common"),
