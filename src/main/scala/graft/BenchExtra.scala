@@ -146,6 +146,27 @@ object BenchExtra {
             .write.format("noop").mode("overwrite").save()
         } finally graft.ops.ConnectedComponents.DenseMaxUndEdges = saved
         dumpStages()
+      case "foraerr" =>
+        import org.apache.spark.sql.functions._
+        val g = SparkEntry.derivedGraph(spark, sfDir)
+        g.numEdges; g.numVertices; g.flatCsr; Thread.sleep(1000)
+        stageAgg.clear()
+        val p = graft.ops.Fora.Params(eps = 0.5, delta = 0.01, pfail = 1e-4)
+        val srcs = Map(0 -> 1L, 1 -> 2L, 2 -> 3L)
+        timed("threeSourcePush tol=1e-9") {
+          graft.ops.ForwardPush.deterministicPpr(g, srcs, alpha = 0.2,
+            tol = 1e-9, qidShard = 3)
+            .state.write.format("noop").mode("overwrite").save()
+        }
+        timed("fora query pfail=1e-4") {
+          graft.ops.Fora.query(g, srcs, p).scores
+            .write.format("noop").mode("overwrite").save()
+        }
+        timed("montecarlo pfail=1e-4") {
+          graft.ops.Fora.montecarlo(g, srcs, p)
+            .write.format("noop").mode("overwrite").save()
+        }
+        dumpStages()
       case "neardup" =>
         import org.apache.spark.sql.functions._
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")

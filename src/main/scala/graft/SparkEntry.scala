@@ -97,11 +97,26 @@ object SparkEntry {
   private def threeSourcePush(spark: SparkSession, sfDir: String)
       : ForwardPush.Result =
     ppr3Cache.getOrElseUpdate(sfDir,
+      // qidShard: the three sources' cascades run in parallel tasks with
+      // per-source state bit-identical to the serial batch (see
+      // runFastK); only rsum's cross-qid fold order changes, and this
+      // result's rsum is never read (g_fora_err consumes .state only)
       ForwardPush.deterministicPpr(derivedGraph(spark, sfDir),
-        Map(0 -> 1L, 1 -> 2L, 2 -> 3L), alpha = 0.2, tol = 1e-9))
+        Map(0 -> 1L, 1 -> 2L, 2 -> 3L), alpha = 0.2, tol = 1e-9,
+        qidShard = 3))
 
+  // memoized READ PLANS (not results): every text/dedup query re-ran
+  // spark.read.parquet's footer/schema resolution for the same path;
+  // the returned frame is a lazy scan — nothing is persisted, every
+  // query still computes from the parquet input
+  private val readCache = TrieMap.empty[String, DataFrame]
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    readCache.getOrElseUpdate(s"$sfDir/documents.parquet",
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+
+  private def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    readCache.getOrElseUpdate(s"$sfDir/embeddings.parquet",
+      spark.read.parquet(s"$sfDir/embeddings.parquet"))
 
   // --- shared derived results (round 6, guide §1.2 "don't compute things
   // twice": several registered queries declare the SAME operator
@@ -771,14 +786,14 @@ object SparkEntry {
     // -- similarity search (graft.text.Ann) --
 
     "e_ann_topk" -> ((s, d) => {
-      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val emb = embeddings(s, d)
       graft.text.Ann.bruteForceTopK(emb,
         emb.where(col("vec_id") < 3).select(col("vec_id").as("qid"),
           col("embedding")), k = 10)
     }),
 
     "e_ann_lsh" -> ((s, d) => {
-      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val emb = embeddings(s, d)
       graft.text.Ann.lshTopK(emb,
         emb.where(col("vec_id") < 3).select(col("vec_id").as("qid"),
           col("embedding")), k = 10)
@@ -812,7 +827,7 @@ object SparkEntry {
     }),
 
     "e_ann_ivf" -> ((s, d) => {
-      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val emb = embeddings(s, d)
       graft.text.Ann.ivfTopK(emb,
         emb.where(col("vec_id") < 3).select(col("vec_id").as("qid"),
           col("embedding")), k = 10)
@@ -849,7 +864,7 @@ object SparkEntry {
     * true positives to find (the raw embeddings table is random: zero
     * pairs above cos 0.8) and makes it fully oracle-able. */
   def derivedNearDupEmbeddings(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val emb = embeddings(spark, sfDir)
     val base = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("embedding"))
     val perturbed = base.where(col("vec_id") % 10 === 0)

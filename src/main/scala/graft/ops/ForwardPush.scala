@@ -137,10 +137,11 @@ object ForwardPush {
 
   def run(graph: LinkGraph, sources: Map[Int, Long], alpha: Double,
           rmax: Double, ckpt: Option[CheckpointStore] = None,
-          resume: Boolean = false, maxSupersteps: Int = 10000): Result = {
+          resume: Boolean = false, maxSupersteps: Int = 10000,
+          qidShard: Int = 1): Result = {
     if (ckpt.isEmpty && graph.numEdges <= fastPathMaxEdges &&
         packableKeys(graph, sources))
-      runFast(graph, sources, alpha, rmax, maxSupersteps)
+      runFast(graph, sources, alpha, rmax, maxSupersteps, qidShard = qidShard)
     else runJoin(graph, sources, alpha, rmax, ckpt, resume, maxSupersteps)
   }
 
@@ -154,13 +155,14 @@ object ForwardPush {
     * — and every merge happens in sorted key order. */
   def runFast(graph: LinkGraph, sources: Map[Int, Long], alpha: Double,
               rmax: Double, maxSupersteps: Int = 10000,
-              chainLen: Int = 8): Result = {
+              chainLen: Int = 8, qidShard: Int = 1): Result = {
     val spark = graph.spark
     import spark.implicits._
     val init: DataFrame = sources.toSeq.sortBy(_._1)
       .map { case (q, v) => KRow((q.toLong << 40) | v, 0.0, 1.0) }
       .toDF()
-    val fr = runFastK(graph, init, alpha, rmax, maxSupersteps, chainLen)
+    val fr = runFastK(graph, init, alpha, rmax, maxSupersteps, chainLen,
+      qidShard)
     Result(unpackK(spark, fr.kstate), fr.rsum, fr.supersteps, fr.pushes,
       fr.blocks, fr.epochSecs, fr.tailSec)
   }
@@ -198,6 +200,17 @@ object ForwardPush {
           key.asInstanceOf[Long] & VidMask, 42), p)
   }
 
+  /** Routes a packed key by its QID — the multi-source sharding of the
+    * small-graph fast-path regime (see runFastK's qidShard). Content-
+    * derived (qid is content), never parallelism-derived. */
+  private[ops] final class QidPartitioner(p: Int)
+      extends org.apache.spark.Partitioner {
+    override def numPartitions: Int = p
+    override def getPartition(key: Any): Int =
+      java.lang.Math.floorMod(
+        (key.asInstanceOf[Long] >>> 40).toInt, p)
+  }
+
   /** Whole-partition push state as primitive arrays, key-sorted. One
     * StateBlock per partition lives in the RDD cache BY REFERENCE
     * (deserialized MEMORY_ONLY) — no per-row boxing, no serialization,
@@ -222,15 +235,29 @@ object ForwardPush {
     * job between lineage truncations, as before. Partition routing
     * (VidPartitioner = the cascade's own local/remote test) is
     * content-derived, so results are parallelism-independent. */
+  /** @param qidShard opt-in multi-source sharding for the SMALL-graph
+    * regime (fastStateParts == 1): a batch of q sources otherwise runs
+    * its q independent cascades serially inside the single state task.
+    * Sharding routes state by QID instead of vid, so each source's whole
+    * cascade drains locally in one task — and because no float operation
+    * ever crosses qids and a FIFO queue preserves each qid's enqueue
+    * subsequence, every source's state is bit-identical to its solo run
+    * (which the batched==solo spec already pins against the unsharded
+    * batch). ONLY the cross-qid rsum fold can differ in the last ulp —
+    * callers that consume rsum (Fora.query's ω) must not opt in; the
+    * exact-oracle and hub-build call sites ignore rsum. */
   def runFastK(graph: LinkGraph, init: DataFrame, alpha: Double,
                rmax: Double, maxSupersteps: Int = 10000,
-               chainLen: Int = 8): FastResult = {
+               chainLen: Int = 8, qidShard: Int = 1): FastResult = {
     val spark = graph.spark
     import spark.implicits._
-    val p = fastStateParts(graph.numEdges)
+    val pv = fastStateParts(graph.numEdges)
+    val byQid = qidShard > 1 && pv == 1
+    val p = if (byQid) math.min(qidShard, 64) else pv
     val sc = spark.sparkContext
     val csrB = graph.flatCsr
-    val vp = new VidPartitioner(p)
+    val vp: org.apache.spark.Partitioner =
+      if (byQid) new QidPartitioner(p) else new VidPartitioner(p)
 
     type KV = (Long, (Double, Double))
     val empty = StateBlock(Array.emptyLongArray, Array.emptyDoubleArray,
@@ -275,7 +302,7 @@ object ForwardPush {
         val out = b.zipPartitions(fP) { (bIt, dIt) =>
           Iterator.single(cascadeBlock(
             if (bIt.hasNext) bIt.next() else empty, dIt, csrB.value,
-            alpha, rmax, p, pushAcc.add(_), remoteAcc.add(_)))
+            alpha, rmax, p, pushAcc.add(_), remoteAcc.add(_), byQid))
         }.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
         epochCaches += out
         b = out.map(_._1)
@@ -310,7 +337,10 @@ object ForwardPush {
     }).toDF()
     val rsum = kstate.agg(coalesce(sum($"residue"), lit(0.0)))
       .as[Double].head()
-    FastResult(kstate, rsum, step, totalPushes, Some((blocks, p)),
+    // qid-sharded blocks are NOT VidPartitioner-aligned — withhold the
+    // block handle so no consumer zips vid-routed rows against them
+    FastResult(kstate, rsum, step, totalPushes,
+      if (byQid) None else Some((blocks, p)),
       epochSecs.toSeq, (System.nanoTime() - tTail0) / 1e9)
   }
 
@@ -328,7 +358,8 @@ object ForwardPush {
                            dIt: Iterator[(Long, (Double, Double))],
                            csr: graft.graph.FlatCsr,
                            alpha: Double, rmax: Double, p: Int,
-                           onPush: Long => Unit, onRemote: Long => Unit)
+                           onPush: Long => Unit, onRemote: Long => Unit,
+                           byQid: Boolean = false)
       : (StateBlock, Array[Long], Array[Double]) = {
     import graft.util.Prim
     val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -415,14 +446,19 @@ object ForwardPush {
           val deg = csr.degOf(idx)
           val share = (1.0 - alpha) * r / deg
           val qbits = store.keys(s) & ~VidMask
+          // qid routing: deposits share the pusher's qid, so locality is
+          // constant per push (always local — remote stays empty)
+          val qidLocal = byQid &&
+            java.lang.Math.floorMod((qbits >>> 40).toInt, p) == pid
           var e = csr.offsets(idx)
           val end = csr.offsets(idx + 1)
           while (e < end) {
             val dv = csr.dsts(e)
             val dkey = qbits | dv
-            if (java.lang.Math.floorMod(
-                org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(dv, 42),
-                p) == pid) {
+            if (if (byQid) qidLocal
+                else java.lang.Math.floorMod(
+                  org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(dv, 42),
+                  p) == pid) {
               val s2 = slotOf(dkey)
               store.b(s2) += share
               if (store.b(s2) > thresholdOf(s2) && !inQ.get(s2)) {
@@ -906,11 +942,13 @@ object ForwardPush {
 
   /** Deterministic PPR to additive tolerance `tol` (SURVEY.md O17 note):
     * rmax = tol/(m+n) ⇒ per-vertex |π̂−π| ≤ rsum ≤ tol. */
+  /** @param qidShard see runFastK — opt-in ONLY for callers that never
+    * consume Result.rsum (the cross-qid fold order changes). */
   def deterministicPpr(graph: LinkGraph, sources: Map[Int, Long],
                        alpha: Double = 0.2, tol: Double = 1e-7,
                        ckpt: Option[CheckpointStore] = None,
-                       resume: Boolean = false): Result = {
+                       resume: Boolean = false, qidShard: Int = 1): Result = {
     val rmax = tol / (graph.numEdges + graph.numVertices).toDouble
-    run(graph, sources, alpha, rmax, ckpt, resume)
+    run(graph, sources, alpha, rmax, ckpt, resume, qidShard = qidShard)
   }
 }

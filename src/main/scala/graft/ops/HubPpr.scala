@@ -89,7 +89,10 @@ object HubPpr {
     val init = sorted.zipWithIndex
       .map { case (h, q) => ForwardPush.KRow((q.toLong << 40) | h, 0.0, 1.0) }
       .toDF()
-    val fr = ForwardPush.runFastK(graph, init, alpha, rmaxCoarse)
+    // qidShard: each hub's coarse cascade drains in its own task, state
+    // bit-identical per hub (runFastK); the build never reads fr.rsum
+    val fr = ForwardPush.runFastK(graph, init, alpha, rmaxCoarse,
+      qidShard = sorted.size)
     val hubByQid = typedLit(sorted.toArray)
     val packed = fr.kstate.select(
       element_at(hubByQid,

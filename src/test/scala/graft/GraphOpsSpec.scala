@@ -76,6 +76,21 @@ class ForwardPushSpec extends SparkSpec {
     } finally g.unpersistAll()
   }
 
+  test("qid-sharded multi-source push is bitwise equal to the serial batch") {
+    // the sharded small-regime routing (runFastK qidShard) must yield
+    // per-source state EXACTLY equal to the unsharded batch — reserve
+    // AND residue, every touched key
+    val g = graph(HandGraphs.complete6)
+    try {
+      def rows(qidShard: Int) = ForwardPush.deterministicPpr(g,
+        Map(0 -> 0L, 1 -> 3L, 2 -> 5L), 0.2, 1e-9, qidShard = qidShard)
+        .state.orderBy("qid", "vid").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).toSeq
+      assert(rows(3) == rows(1))
+    } finally g.unpersistAll()
+  }
+
   test("ppr on synthetic pages graph matches dense oracle at 1e-6") {
     val spark2 = spark
     import spark2.implicits._
