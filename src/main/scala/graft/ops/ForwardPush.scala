@@ -256,19 +256,44 @@ object ForwardPush {
     val p = if (byQid) math.min(qidShard, 64) else pv
     val sc = spark.sparkContext
     val csrB = graph.flatCsr
-    val vp: org.apache.spark.Partitioner =
-      if (byQid) new QidPartitioner(p) else new VidPartitioner(p)
 
-    type KV = (Long, (Double, Double))
+    // frontier rows travel as per-DESTINATION-partition batches of
+    // primitive arrays (round 6): row-at-a-time partitionBy picked the
+    // bypass-merge shuffle writer (p temp files per reduce partition per
+    // map task per round — the join path's measured dominant per-round
+    // cost), while batch values under a list-concat combiner take the
+    // single-file sort writer. The cascade sorts its delta input by key
+    // before any accumulation, so batch/concat order cannot change which
+    // values a key receives; same-key deltas from different source
+    // partitions merge in the same arrival-order class as the previous
+    // row form (local-mode fetch order is mapId-deterministic either
+    // way). keys/reserves/residues parallel arrays; reserves carry the
+    // warm-start seed reserves of round 1 (zero for remote deltas).
+    type FBatch = (Array[Long], Array[Double], Array[Double])
     val empty = StateBlock(Array.emptyLongArray, Array.emptyDoubleArray,
       Array.emptyDoubleArray)
     var blocks: org.apache.spark.rdd.RDD[StateBlock] =
       sc.parallelize(0 until p, p).map(_ => empty)
+    val pidPart = new graft.graph.LinkGraph.PartIdPartitioner(p)
+    def routeFrontier(f: org.apache.spark.rdd.RDD[(Int, FBatch)])
+        : org.apache.spark.rdd.RDD[(Int, List[FBatch])] = {
+      import org.apache.spark.rdd.RDD.rddToPairRDDFunctions
+      f.combineByKeyWithClassTag[List[FBatch]](
+        (b: FBatch) => List(b),
+        (l: List[FBatch], b: FBatch) => b :: l,
+        (a: List[FBatch], b: List[FBatch]) => a ::: b,
+        pidPart, mapSideCombine = true)
+    }
     // init enters as frontier: round 1 seeds every init key into the
     // cascade queue, which warm-started ladder runs (finer rmax than the
     // state was converged at) rely on
-    var frontier: org.apache.spark.rdd.RDD[KV] =
-      init.as[KRow].rdd.map(r => (r.key, (r.reserve, r.residue)))
+    val pC = p; val byQidC = byQid // primitives only in task closures
+    var frontier: org.apache.spark.rdd.RDD[(Int, FBatch)] =
+      init.as[KRow].rdd.mapPartitions { it =>
+        val rows = it.toArray
+        splitFrontierByDest(rows.map(_.key), rows.map(_.reserve),
+          rows.map(_.residue), pC, byQidC)
+      }
     var step = 0
     var converged = false
     var totalPushes = 0L
@@ -294,20 +319,25 @@ object ForwardPush {
       var b = blocks
       var f = frontier
       (0 until rounds).foreach { r =>
-        val fP = f.partitionBy(vp)
+        val fP = routeFrontier(f)
         val pushAcc = pushAccs(r)
         val remoteAcc = remoteAccs(r)
         // out: one (newBlock, remoteKeys, remoteResidues) per partition;
         // persisted deserialized so both consumers below read references
         val out = b.zipPartitions(fP) { (bIt, dIt) =>
+          val rows = dIt.flatMap { case (_, batches) =>
+            batches.iterator.flatMap { case (ks, res, rss) =>
+              Iterator.range(0, ks.length)
+                .map(i => (ks(i), (res(i), rss(i)))) } }
           Iterator.single(cascadeBlock(
-            if (bIt.hasNext) bIt.next() else empty, dIt, csrB.value,
+            if (bIt.hasNext) bIt.next() else empty, rows, csrB.value,
             alpha, rmax, p, pushAcc.add(_), remoteAcc.add(_), byQid))
         }.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
         epochCaches += out
         b = out.map(_._1)
         f = out.flatMap { case (_, rk, rv) =>
-          rk.indices.iterator.map(i => (rk(i), (0.0, rv(i)))) }
+          splitFrontierByDest(rk, new Array[Double](rk.length), rv,
+            pC, byQidC) }
       }
       // pin BOTH epoch survivors before dropping the per-round caches
       // (recomputing through unpersisted cascades would double-count
@@ -342,6 +372,40 @@ object ForwardPush {
     FastResult(kstate, rsum, step, totalPushes,
       if (byQid) None else Some((blocks, p)),
       epochSecs.toSeq, (System.nanoTime() - tTail0) / 1e9)
+  }
+
+  /** Split packed-key frontier rows into one (destPid, (keys, reserves,
+    * residues)) batch per destination partition — the same routing as
+    * the cascade's local/remote test (murmur3-vid, or qid under
+    * sharding). Top-level so task closures capture only primitives. */
+  private def splitFrontierByDest(keys: Array[Long], res: Array[Double],
+      rss: Array[Double], p: Int, byQid: Boolean)
+      : Iterator[(Int, (Array[Long], Array[Double], Array[Double]))] = {
+    val counts = new Array[Int](p)
+    val dest = new Array[Int](keys.length)
+    var i = 0
+    while (i < keys.length) {
+      val d =
+        if (byQid) java.lang.Math.floorMod((keys(i) >>> 40).toInt, p)
+        else java.lang.Math.floorMod(
+          org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(
+            keys(i) & VidMask, 42), p)
+      dest(i) = d; counts(d) += 1
+      i += 1
+    }
+    val outK = Array.tabulate(p)(d => new Array[Long](counts(d)))
+    val outA = Array.tabulate(p)(d => new Array[Double](counts(d)))
+    val outB = Array.tabulate(p)(d => new Array[Double](counts(d)))
+    val fill = new Array[Int](p)
+    i = 0
+    while (i < keys.length) {
+      val d = dest(i); val j = fill(d)
+      outK(d)(j) = keys(i); outA(d)(j) = res(i); outB(d)(j) = rss(i)
+      fill(d) = j + 1
+      i += 1
+    }
+    Iterator.range(0, p).filter(counts(_) > 0)
+      .map(d => (d, (outK(d), outA(d), outB(d))))
   }
 
   /** Primitive-array cascade for one hash partition (fast path). The
