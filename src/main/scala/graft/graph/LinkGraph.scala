@@ -36,7 +36,10 @@ final class LinkGraph private (
     // the hash-vid ingest builds the CSR FIRST (its sort-shuffle doubles
     // as the global edge dedup) and derives the edge table by unpacking —
     // this hands the already-built blocks over so `csr` doesn't rebuild
-    preCsr: Option[Dataset[CsrBlock]] = None) extends Serializable {
+    preCsr: Option[Dataset[CsrBlock]] = None,
+    // edge count already measured by the ingest's own materializing
+    // count() — pre-seating it skips a redundant count job per build
+    preNumEdges: Option[Long] = None) extends Serializable {
   import spark.implicits._
 
   /** Shape → cache → count → write FROM the cache. Round 5 inverted the
@@ -177,7 +180,7 @@ final class LinkGraph private (
     "und_edges", Some("src")).as[Edge]
 
   lazy val numVertices: Long = vertices.count()
-  lazy val numEdges: Long = edges.count()
+  lazy val numEdges: Long = preNumEdges.getOrElse(edges.count())
 
   /** (min, max) vertex id — gates the packed-key fast paths, which encode
     * qid<<40|vid and therefore require 0 ≤ vid < 2^40. */
@@ -326,7 +329,7 @@ object LinkGraph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val m = e.count()
     val g = new LinkGraph(spark, storageDir, partsFor(numParts, m),
-      preEdges = Some(e))
+      preEdges = Some(e), preNumEdges = Some(m))
     // count() above materialized the cache; the durable write is pure
     // I/O over it and overlaps the rest of the build (guide §2.6)
     g.enqueueWrite(e.toDF(), "edges")

@@ -251,8 +251,12 @@ object BackwardPush {
     var step = 0
     var converged = false
     var totalPushes = 0L
+    // p == 1 makes remote deltas structurally impossible — chain 1
+    // (see ForwardPush.runFastK: later chained rounds are identity
+    // re-shuffles of the full state)
+    val effChain = if (p == 1) 1 else chainLen
     while (!converged && step < maxSupersteps) {
-      val rounds = math.min(chainLen, maxSupersteps - step)
+      val rounds = math.min(effChain, maxSupersteps - step)
       // per-round accumulators + last-round-quiet convergence (see
       // ForwardPush.runFastK): skips the all-no-op trailing epoch
       val pushAccs = Array.tabulate(rounds)(r =>

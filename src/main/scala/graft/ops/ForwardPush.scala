@@ -299,9 +299,15 @@ object ForwardPush {
     var totalPushes = 0L
     val epochSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
 
+    // single-partition drain (p == 1) and qid sharding both make remote
+    // deltas structurally impossible: round 1 cascades to full local
+    // quiescence and every later chained round is a no-op re-shuffle of
+    // nothing — chain length 1 skips those stages with bitwise-identical
+    // state (the no-op rounds are identity maps)
+    val effChain = if (p == 1 || byQid) 1 else chainLen
     while (!converged && step < maxSupersteps) {
       val tEpoch0 = System.nanoTime()
-      val rounds = math.min(chainLen, maxSupersteps - step)
+      val rounds = math.min(effChain, maxSupersteps - step)
       // per-ROUND accumulators (round 6): with one epoch-level pair the
       // convergence test had to demand push==0 over the whole epoch, so
       // a run whose last real work happened mid-epoch paid one extra
