@@ -398,7 +398,7 @@ object BackwardPush {
     * multi-MB task binaries the chained cogroup paid. */
   def runJoin(graph: LinkGraph, targets: Map[Int, Long], alpha: Double,
               rmax: Double, maxSupersteps: Int = 10000,
-              chainLen: Int = 8): Result = {
+              chainLen: Int = 16): Result = {
     val spark = graph.spark
     import spark.implicits._
     val p = graph.numParts

@@ -604,7 +604,7 @@ object ForwardPush {
   def runJoin(graph: LinkGraph, sources: Map[Int, Long], alpha: Double,
               rmax: Double, ckpt: Option[CheckpointStore] = None,
               resume: Boolean = false, maxSupersteps: Int = 10000,
-              chainLen: Int = 8): Result = {
+              chainLen: Int = 16): Result = {
     if (ckpt.isDefined)
       return runJoinDurable(graph, sources, alpha, rmax, ckpt, resume,
         maxSupersteps, chainLen)

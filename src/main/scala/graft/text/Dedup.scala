@@ -164,9 +164,15 @@ object Dedup {
       : DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val sig = docs.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), numHashes).as("sig"))
-    val banded = sig.select(col("id"),
+    // ONE tokenization + signature pass, pinned (round 6, guide §1.2):
+    // un-pinned, both sides of the band self-join re-ran the minhash
+    // UDF and both verification joins re-tokenized the corpus — four
+    // scans' worth of per-doc hashing for one operator invocation
+    val base = docs.select(col(idCol).as("id"),
+        tokens(col(textCol)).as("toks"))
+      .withColumn("sig", minhashUdf(numHashes)(col("toks")))
+      .localCheckpoint(true)
+    val banded = base.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * rows + lit(1), lit(rows))
           .cast("string")))).as(Seq("band", "bucket")))
@@ -178,7 +184,7 @@ object Dedup {
     // verify per candidate PAIR (pair ⟕ token sets → array intersect):
     // cost is O(|pairs| · tokens), never a token self-join — one shared
     // boilerplate token across candidates cannot go quadratic
-    val docToks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    val docToks = base.select(col("id"), col("toks"))
     cand
       .join(docToks.select(col("id").as("cand_a"), col("toks").as("ta")), "cand_a")
       .join(docToks.select(col("id").as("cand_b"), col("toks").as("tb")), "cand_b")
