@@ -85,8 +85,6 @@ object BenchExtra {
       case "pprjoin" =>
         val g = SparkEntry.derivedGraph(spark, sfDir)
         g.numEdges; g.csrZip.count() // shared build excluded from timing
-        val bodyAcc = spark.sparkContext.longAccumulator("bodyNanos")
-        ForwardPush.bodyNanosAcc = Some(bodyAcc)
         val rmax = 1e-9 / (g.numEdges + g.numVertices).toDouble
         val res = timed(s"pprjoin chain=$chain") {
           val r = ForwardPush.runJoin(g, Map(0 -> 1L), alpha = 0.2,
@@ -96,8 +94,6 @@ object BenchExtra {
         }
         println(s"[benchextra] supersteps=${res.supersteps} " +
           s"pushes=${res.pushes} rsum=${res.rsum}")
-        println(f"[benchextra] closure body total ${bodyAcc.value / 1e9}%.2f s")
-        ForwardPush.bodyNanosAcc = None
         dumpStages()
       case "bpushjoin" =>
         val g = SparkEntry.derivedGraph(spark, sfDir)

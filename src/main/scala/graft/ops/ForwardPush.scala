@@ -596,11 +596,6 @@ object ForwardPush {
     *   graphs, dominating the ~120-superstep deterministic runs; VERDICT
     *   r4 #6). With `ckpt` defined the chain is forced to 1 so every
     *   superstep commits durably (north rule N9). */
-  /** Diagnostic hook (BenchExtra only): when set, accumulates the
-    * in-closure nanos of each join-path superstep task body. */
-  private[graft] var bodyNanosAcc
-      : Option[org.apache.spark.util.LongAccumulator] = None
-
   def runJoin(graph: LinkGraph, sources: Map[Int, Long], alpha: Double,
               rmax: Double, ckpt: Option[CheckpointStore] = None,
               resume: Boolean = false, maxSupersteps: Int = 10000,
@@ -651,20 +646,15 @@ object ForwardPush {
         // keys are DESTINATION parts (remote deltas included), so it
         // does not satisfy vpart's contract — claiming it would make
         // the next partitionBy(vpart) short-circuit the exchange
-        val bodyAcc = bodyNanosAcc
         out = routed.zipPartitions(csrZip, preservesPartitioning = false) {
           (sIt, bIt) =>
-            val tB0 = System.nanoTime()
             val pid = org.apache.spark.TaskContext.getPartitionId()
-            val res = packByDest(
+            packByDest(
               cascade(pid,
                 unpackBatches(sIt).map(t => StateIn(t._1, t._2, t._3, t._4)),
                 bIt.buffered.headOption, alpha, rmax, p,
                 pushAcc.add(_), remoteAcc.add(_), noMetrics)
                 .map(pr => (pr.qid, pr.vid, pr.reserve, pr.residue)), p)
-              .toArray
-            bodyAcc.foreach(_.add(System.nanoTime() - tB0))
-            res.iterator
         }
       }
       val ck = out.localCheckpoint()
